@@ -1,0 +1,155 @@
+"""Tile binning: gaussian -> (tile, depth)-ordered intersection lists.
+
+TPU-native replacement for gsplat's `isect_tiles` / `isect_offset_encode`
+CUDA kernels (the tile-sort stage of the rasterization called at
+`mtgs/scene_model/mtgs_scene_graph.py:640-662` in OpenDriveLab/MTGS).
+
+Design (static shapes, no atomics, all XLA):
+ 1. Sort the N gaussians once, globally, by camera depth (`lax.sort`).
+ 2. Expand each gaussian to its covered tiles with `jnp.repeat(...,
+    total_repeat_length=max_intersections)` — fixed capacity; overflow is
+    truncated and reported so the caller can grow the capacity and re-jit.
+ 3. STABLE-sort the (tile, gaussian) pairs by tile id only. Because the
+    input enumeration order is the global depth order, stability gives
+    depth order within every tile — exactly the (tile<<32)|depth radix
+    sort of the CUDA path, with a single int32 key.
+ 4. Re-lay out each tile's run to a CHUNK(=128)-aligned offset with one
+    scatter, padding with a sentinel id. Every per-tile range then starts
+    at a 128-aligned slot and spans whole chunks: the Pallas blend kernel
+    DMAs perfectly aligned (8, 128) blocks, and the per-chunk math treats
+    sentinel entries as opacity-0 no-ops.
+
+Everything here is index math under stop_gradient; gradients flow through
+the later *gather* of per-gaussian attributes into intersection order.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mtgs_tpu.raster.chunk_math import CHUNK
+
+
+class BinnedIntersections(NamedTuple):
+    """Static-capacity tile-intersection structure.
+
+    Attributes:
+        perm: [N] depth-order permutation of the input gaussians.
+        gidx: [capacity] int32 — for every padded intersection slot, the
+            index into the *depth-sorted* gaussian arrays; == N (sentinel)
+            for padding slots.
+        tile_offsets: [num_tiles] int32 chunk-aligned start of each tile's
+            run in `gidx`.
+        tile_nchunks: [num_tiles] int32 number of CHUNK-sized chunks.
+        n_intersections: [] int32 true (unpadded, untruncated) pair count —
+            if > max_intersections the caller must grow capacity.
+    """
+
+    perm: jax.Array
+    gidx: jax.Array
+    tile_offsets: jax.Array
+    tile_nchunks: jax.Array
+    n_intersections: jax.Array
+
+
+def padded_capacity(max_intersections: int, num_tiles: int) -> int:
+    """Static capacity of the chunk-aligned intersection buffer."""
+    cap = max_intersections + num_tiles * (CHUNK - 1)
+    return ((cap + CHUNK - 1) // CHUNK) * CHUNK
+
+
+def bin_gaussians(
+    means2d: jax.Array,
+    radii: jax.Array,
+    depths: jax.Array,
+    valid: jax.Array,
+    *,
+    width: int,
+    height: int,
+    tile_size: int,
+    max_intersections: int,
+) -> BinnedIntersections:
+    """Build the chunk-aligned per-tile intersection lists.
+
+    Args:
+        means2d: [N, 2] pixel-space centers.
+        radii: [N] int32 screen radii (0 = culled).
+        depths: [N] camera depths (sort key).
+        valid: [N] bool.
+        width, height, tile_size, max_intersections: static ints.
+    """
+    means2d = jax.lax.stop_gradient(means2d)
+    depths = jax.lax.stop_gradient(depths)
+
+    N = means2d.shape[0]
+    tiles_x = -(-width // tile_size)
+    tiles_y = -(-height // tile_size)
+    num_tiles = tiles_x * tiles_y
+    I = max_intersections
+    cap = padded_capacity(I, num_tiles)
+
+    # ---- 1. global depth sort ----------------------------------------
+    depth_key = jnp.where(valid, depths, jnp.inf)
+    _, perm = jax.lax.sort(
+        (depth_key, jnp.arange(N, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    m = means2d[perm]
+    r = radii[perm].astype(jnp.float32)
+    valid_s = valid[perm] & (radii[perm] > 0)
+
+    # ---- 2. tile spans + expansion -----------------------------------
+    tmin_x = jnp.clip(jnp.floor((m[:, 0] - r) / tile_size), 0, tiles_x).astype(jnp.int32)
+    tmax_x = jnp.clip(jnp.ceil((m[:, 0] + r) / tile_size), 0, tiles_x).astype(jnp.int32)
+    tmin_y = jnp.clip(jnp.floor((m[:, 1] - r) / tile_size), 0, tiles_y).astype(jnp.int32)
+    tmax_y = jnp.clip(jnp.ceil((m[:, 1] + r) / tile_size), 0, tiles_y).astype(jnp.int32)
+    span_x = jnp.maximum(tmax_x - tmin_x, 0)
+    span_y = jnp.maximum(tmax_y - tmin_y, 0)
+    counts = jnp.where(valid_s, span_x * span_y, 0).astype(jnp.int32)
+    offsets = jnp.cumsum(counts) - counts  # exclusive
+    total = offsets[-1] + counts[-1] if N > 0 else jnp.zeros((), jnp.int32)
+
+    src = jnp.repeat(
+        jnp.arange(N, dtype=jnp.int32), counts, total_repeat_length=I
+    )  # sorted-gaussian index per pair slot
+    slot = jnp.arange(I, dtype=jnp.int32)
+    local = slot - offsets[src]
+    sx = jnp.maximum(span_x[src], 1)
+    lx = local % sx
+    ly = local // sx
+    tile = (tmin_y[src] + ly) * tiles_x + (tmin_x[src] + lx)
+    pair_ok = (slot < total) & (local >= 0) & (local < counts[src])
+    tile = jnp.where(pair_ok, tile, num_tiles)  # sentinel tile sorts last
+
+    # ---- 3. stable sort by tile id (preserves depth order in-tile) ---
+    tile_sorted, src_sorted = jax.lax.sort((tile, src), num_keys=1, is_stable=True)
+
+    # ---- 4. chunk-aligned re-layout ----------------------------------
+    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(tile_sorted, tile_range, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(tile_sorted, tile_range, side="right").astype(jnp.int32)
+    tcounts = ends - starts
+    padded = ((tcounts + CHUNK - 1) // CHUNK) * CHUNK
+    tile_offsets = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+    tile_nchunks = (padded // CHUNK).astype(jnp.int32)
+
+    rank = jnp.arange(I, dtype=jnp.int32) - jnp.where(
+        tile_sorted < num_tiles, starts[jnp.minimum(tile_sorted, num_tiles - 1)], 0
+    )
+    pos = jnp.where(
+        tile_sorted < num_tiles,
+        tile_offsets[jnp.minimum(tile_sorted, num_tiles - 1)] + rank,
+        cap,  # out of bounds -> dropped by scatter
+    )
+    gidx = jnp.full((cap,), N, dtype=jnp.int32)  # sentinel = N
+    gidx = gidx.at[pos].set(src_sorted, mode="drop")
+
+    return BinnedIntersections(
+        perm=perm,
+        gidx=gidx,
+        tile_offsets=tile_offsets,
+        tile_nchunks=tile_nchunks,
+        n_intersections=total,
+    )

@@ -1,0 +1,280 @@
+"""Pallas TPU kernels for the per-tile alpha blend (forward + backward).
+
+The performance path of the rasterizer (XLA-driver twin:
+`blend_xla.py`; shared math: `chunk_math.py`). One `pallas_call` walks
+all tiles (TPU grid = sequential + pipelined on the TensorCore); each
+tile program:
+
+  * reads its chunk-aligned intersection range boundaries from
+    scalar-prefetched SMEM (`PrefetchScalarGridSpec`),
+  * DMAs (8, CHUNK) geometry/color slabs HBM->VMEM (the binning stage
+    guarantees 128-aligned, contiguous, per-tile-disjoint ranges),
+  * runs the chunk math (MXU matmuls for sigma/cumsum/accumulation),
+  * early-exits the chunk loop once every pixel's transmittance is
+    saturated (the TPU analog of the CUDA warp `done` break),
+  * writes its (8, PIX) color block + (PIX,) final transmittance.
+
+The backward kernel replays chunks front-to-back (no stored
+per-intersection state; suffix terms recovered from the forward outputs)
+and DMAs per-intersection gradients back to HBM — tiles own disjoint
+ranges, so no atomics are needed anywhere; the final per-gaussian
+reduction is a segment-sum outside the kernel.
+
+Multi-chip: shard tiles across devices at the JAX level (shard_map over
+the tile axis); each device runs this kernel on its tile subset.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mtgs_tpu.raster import chunk_math as cm
+from mtgs_tpu.raster.chunk_math import CHUNK, LOG_T_EPS, NUM_CH, NUM_GEOM
+
+
+def _origin(tile_id, tiles_x: int, tile_size: int):
+    ox = ((tile_id % tiles_x) * tile_size).astype(jnp.float32)
+    oy = ((tile_id // tiles_x) * tile_size).astype(jnp.float32)
+    return ox, oy
+
+
+def _fwd_kernel(
+    # scalar prefetch
+    off_ref,
+    nch_ref,
+    # inputs (HBM)
+    geom_hbm,
+    col_hbm,
+    # outputs (VMEM blocks)
+    rgb_ref,
+    tfin_ref,
+    # scratch
+    geom_s,
+    col_s,
+    sems,
+    *,
+    tile_size: int,
+    tiles_x: int,
+):
+    t = pl.program_id(0)
+    offset = off_ref[t]
+    nch = nch_ref[t]
+    ox, oy = _origin(t, tiles_x, tile_size)
+    F = cm.pixel_features(tile_size)
+    LT = cm.tri_inclusive(CHUNK)
+    P = tile_size * tile_size
+
+    def cond(state):
+        k, carry = state
+        return jnp.logical_and(k < nch, jnp.max(carry.log_t_all) > LOG_T_EPS)
+
+    def body(state):
+        k, carry = state
+        idx = offset + k * CHUNK
+        cp_g = pltpu.make_async_copy(
+            geom_hbm.at[:, pl.ds(idx, CHUNK)], geom_s, sems.at[0]
+        )
+        cp_c = pltpu.make_async_copy(
+            col_hbm.at[:, pl.ds(idx, CHUNK)], col_s, sems.at[1]
+        )
+        cp_g.start()
+        cp_c.start()
+        cp_g.wait()
+        cp_c.wait()
+        carry = cm.forward_chunk(carry, geom_s[:], col_s[:], ox, oy, F, LT)
+        return k + 1, carry
+
+    init = (jnp.zeros((), jnp.int32), cm.init_carry(tile_size))
+    _, carry = jax.lax.while_loop(cond, body, init)
+    rgb_ref[0] = carry.rgb
+    tfin_ref[0] = jnp.exp(carry.log_t_out).reshape(1, P)[0]
+
+
+def blend_forward_pallas(
+    geom_t: jax.Array,
+    col_t: jax.Array,
+    tile_offsets: jax.Array,
+    tile_nchunks: jax.Array,
+    *,
+    tile_size: int,
+    tiles_x: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (rgb_tiles [T, 8, PIX], t_final [T, PIX])."""
+    T = tile_offsets.shape[0]
+    P = tile_size * tile_size
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, NUM_CH, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, P), lambda t, *_: (t, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NUM_GEOM, CHUNK), jnp.float32),
+            pltpu.VMEM((NUM_CH, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_fwd_kernel, tile_size=tile_size, tiles_x=tiles_x)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, NUM_CH, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, P), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tile_offsets, tile_nchunks, geom_t, col_t)
+
+
+def _bwd_kernel(
+    off_ref,
+    nch_ref,
+    # inputs
+    geom_hbm,
+    col_hbm,
+    rgb_ref,     # [1, 8, P] forward accumulated color
+    tfin_ref,    # [1, P]
+    grgb_ref,    # [1, 8, P]
+    gt_ref,      # [1, P]
+    # outputs (HBM)
+    g_geom_hbm,
+    g_col_hbm,
+    # scratch
+    geom_s,
+    col_s,
+    gg_s,
+    gc_s,
+    sems,
+    wsems,
+    *,
+    tile_size: int,
+    tiles_x: int,
+):
+    t = pl.program_id(0)
+    offset = off_ref[t]
+    nch = nch_ref[t]
+    ox, oy = _origin(t, tiles_x, tile_size)
+    F = cm.pixel_features(tile_size)
+    LT = cm.tri_inclusive(CHUNK)
+    P = tile_size * tile_size
+
+    grgb = grgb_ref[0]                       # [8, P]
+    gt = gt_ref[0].reshape(P, 1)
+    tf = tfin_ref[0].reshape(P, 1)
+    total_dot = jnp.sum(grgb * rgb_ref[0], axis=0).reshape(P, 1)
+
+    def body(k, carry):
+        idx = offset + k * CHUNK
+        cp_g = pltpu.make_async_copy(
+            geom_hbm.at[:, pl.ds(idx, CHUNK)], geom_s, sems.at[0]
+        )
+        cp_c = pltpu.make_async_copy(
+            col_hbm.at[:, pl.ds(idx, CHUNK)], col_s, sems.at[1]
+        )
+        cp_g.start()
+        cp_c.start()
+        cp_g.wait()
+        cp_c.wait()
+        g_geom, g_col, carry = cm.backward_chunk(
+            carry, geom_s[:], col_s[:], ox, oy, grgb, gt, tf, total_dot, F, LT
+        )
+        gg_s[:] = g_geom
+        gc_s[:] = g_col
+        wr_g = pltpu.make_async_copy(
+            gg_s, g_geom_hbm.at[:, pl.ds(idx, CHUNK)], wsems.at[0]
+        )
+        wr_c = pltpu.make_async_copy(
+            gc_s, g_col_hbm.at[:, pl.ds(idx, CHUNK)], wsems.at[1]
+        )
+        wr_g.start()
+        wr_c.start()
+        wr_g.wait()
+        wr_c.wait()
+        return carry
+
+    init = cm.BwdCarry(
+        log_t_all=jnp.zeros((P, 1), jnp.float32),
+        wg_cum=jnp.zeros((P, 1), jnp.float32),
+    )
+    jax.lax.fori_loop(0, nch, body, init)
+
+
+def blend_backward_pallas(
+    geom_t: jax.Array,
+    col_t: jax.Array,
+    tile_offsets: jax.Array,
+    tile_nchunks: jax.Array,
+    rgb_tiles: jax.Array,
+    t_final: jax.Array,
+    g_rgb: jax.Array,
+    g_t: jax.Array,
+    *,
+    tile_size: int,
+    tiles_x: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns per-intersection (g_geom_t [8, cap], g_col_t [8, cap]).
+
+    Slack regions of the output buffers (capacity not covered by any
+    tile's chunks) are UNINITIALIZED; callers must mask by sentinel
+    gaussian index before reducing.
+    """
+    T = tile_offsets.shape[0]
+    P = tile_size * tile_size
+    cap = geom_t.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, NUM_CH, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, P), lambda t, *_: (t, 0)),
+            pl.BlockSpec((1, NUM_CH, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, P), lambda t, *_: (t, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NUM_GEOM, CHUNK), jnp.float32),
+            pltpu.VMEM((NUM_CH, CHUNK), jnp.float32),
+            pltpu.VMEM((NUM_GEOM, CHUNK), jnp.float32),
+            pltpu.VMEM((NUM_CH, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_bwd_kernel, tile_size=tile_size, tiles_x=tiles_x)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((NUM_GEOM, cap), jnp.float32),
+            jax.ShapeDtypeStruct((NUM_CH, cap), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        tile_offsets,
+        tile_nchunks,
+        geom_t,
+        col_t,
+        rgb_tiles,
+        t_final,
+        g_rgb,
+        g_t,
+    )

@@ -1,0 +1,286 @@
+"""Public differentiable rasterization API.
+
+TPU-native equivalent of `gsplat.rendering.rasterization` as consumed by
+the reference at `mtgs/scene_model/mtgs_scene_graph.py:640-662`
+(OpenDriveLab/MTGS): projection -> binning -> per-tile blend, fully under
+`jax.grad` via a custom VJP around the Pallas blend kernels.
+
+Extras beyond the gsplat signature, reflecting JAX's functional autodiff:
+
+* `tap2d`: a zeros-[N,2] array added to the projected 2D means. Its
+  gradient equals the screen-space means2d gradient — the functional
+  replacement for the reference's `info["means2d"].retain_grad()`
+  (`mtgs_scene_graph.py:666-668`).
+* `absgrad_sink`: a zeros-[N,2] array ignored by the forward; its
+  "gradient" is the absolute-value screen-gradient accumulation
+  (sum over tiles of |per-tile means2d gradient|) — gsplat's `absgrad`
+  densification signal (`mtgs_scene_graph.py:657,1171-1177`).
+
+Both are ordinary inputs: `jax.grad` w.r.t. them yields the densify
+statistics in the same backward pass as the parameter gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtgs_tpu.raster import binning
+from mtgs_tpu.raster.blend_pallas import blend_backward_pallas, blend_forward_pallas
+from mtgs_tpu.raster.blend_reference import blend_reference
+from mtgs_tpu.raster.blend_xla import blend_backward_xla, blend_forward_xla
+from mtgs_tpu.raster.chunk_math import NUM_CH, NUM_GEOM
+from mtgs_tpu.raster.projection import project_gaussians
+
+
+class RasterizeConfig(NamedTuple):
+    """Static rasterization settings (hashable; part of the jit cache key)."""
+
+    width: int
+    height: int
+    tile_size: int = 32
+    near_plane: float = 0.01
+    far_plane: float = 1e10
+    rasterize_mode: str = "classic"      # "classic" | "antialiased"
+    render_mode: str = "RGB"             # "RGB" | "RGB+D" | "RGB+ED" | "D" | "ED"
+    max_intersections: int = 1 << 20
+    backend: str = "auto"                # "auto" | "pallas" | "xla" | "reference"
+    interpret: bool = False              # run Pallas in interpreter mode
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.width // self.tile_size)
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.height // self.tile_size)
+
+    @property
+    def with_depth(self) -> bool:
+        return "D" in self.render_mode
+
+    def resolve_backend(self) -> str:
+        if self.backend != "auto":
+            return self.backend
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+class _BlendStatics(NamedTuple):
+    tile_size: int
+    tiles_x: int
+    backend: str
+    interpret: bool
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _blend(statics, geom_t, col_t, tile_offsets, tile_nchunks, gidx, perm, sink):
+    out, _ = _blend_fwd(statics, geom_t, col_t, tile_offsets, tile_nchunks, gidx, perm, sink)
+    return out
+
+
+def _blend_fwd(statics, geom_t, col_t, tile_offsets, tile_nchunks, gidx, perm, sink):
+    if statics.backend == "pallas":
+        rgb, tfin = blend_forward_pallas(
+            geom_t, col_t, tile_offsets, tile_nchunks,
+            tile_size=statics.tile_size, tiles_x=statics.tiles_x,
+            interpret=statics.interpret,
+        )
+    else:
+        rgb, tfin = blend_forward_xla(
+            geom_t, col_t, tile_offsets, tile_nchunks,
+            tile_size=statics.tile_size, tiles_x=statics.tiles_x,
+        )
+    res = (geom_t, col_t, tile_offsets, tile_nchunks, gidx, perm, rgb, tfin)
+    return (rgb, tfin), res
+
+
+def _blend_bwd(statics, res, cot):
+    geom_t, col_t, tile_offsets, tile_nchunks, gidx, perm, rgb, tfin = res
+    g_rgb, g_t = cot
+    if statics.backend == "pallas":
+        g_geom_t, g_col_t = blend_backward_pallas(
+            geom_t, col_t, tile_offsets, tile_nchunks, rgb, tfin, g_rgb, g_t,
+            tile_size=statics.tile_size, tiles_x=statics.tiles_x,
+            interpret=statics.interpret,
+        )
+    else:
+        g_geom_t, g_col_t = blend_backward_xla(
+            geom_t, col_t, tile_offsets, tile_nchunks, rgb, tfin, g_rgb, g_t,
+            tile_size=statics.tile_size, tiles_x=statics.tiles_x,
+        )
+    n = perm.shape[0]
+    live = (gidx < n)[None, :]
+    # Slack capacity regions are uninitialized in the Pallas path — scrub.
+    g_geom_t = jnp.where(live, g_geom_t, 0.0)
+    g_col_t = jnp.where(live, g_col_t, 0.0)
+
+    # absgrad: per-tile |means2d gradient| summed per gaussian (input order).
+    abs_inter = jnp.abs(g_geom_t[:2, :].T)  # [cap, 2]
+    abs_sorted = jax.ops.segment_sum(abs_inter, gidx, num_segments=n + 1)[:n]
+    absgrad = jnp.zeros((n, 2), geom_t.dtype).at[perm].add(abs_sorted)
+
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return (
+        g_geom_t,
+        g_col_t,
+        f0(tile_offsets),
+        f0(tile_nchunks),
+        f0(gidx),
+        f0(perm),
+        absgrad,
+    )
+
+
+_blend.defvjp(_blend_fwd, _blend_bwd)
+
+
+def rasterize(
+    means: jax.Array,
+    quats: jax.Array,
+    scales: jax.Array,
+    opacities: jax.Array,
+    colors: jax.Array,
+    viewmat: jax.Array,
+    K: jax.Array,
+    config: RasterizeConfig,
+    *,
+    tap2d: Optional[jax.Array] = None,
+    absgrad_sink: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, dict]:
+    """Render one camera view of a set of 3D Gaussians.
+
+    Args:
+        means: [N, 3] world centers.
+        quats: [N, 4] wxyz rotations (normalized internally).
+        scales: [N, 3] linear scales.
+        opacities: [N] in [0, 1] (already sigmoided).
+        colors: [N, C] per-gaussian colors, C <= 7 (SH already evaluated).
+        viewmat: [4, 4] world-to-camera (cv convention).
+        K: [3, 3] intrinsics.
+        config: static RasterizeConfig.
+        tap2d / absgrad_sink: optional zeros-[N, 2] gradient taps (see
+            module docstring).
+
+    Returns:
+        render: [H, W, C(+1 if depth mode)] — raw channels; ED mode's last
+            channel is alpha-normalized expected depth.
+        alpha: [H, W, 1] accumulated opacity.
+        info: dict with means2d [N,2] (tapped), radii [N], depths [N],
+            n_intersections (traced scalar; if it exceeds
+            config.max_intersections the render silently truncated the
+            furthest intersections — grow the config and re-jit).
+    """
+    N = means.shape[0]
+    C = colors.shape[-1]
+    if config.with_depth:
+        if C + 1 > NUM_CH:
+            raise ValueError(f"too many channels: {C}+depth > {NUM_CH}")
+    elif C > NUM_CH:
+        raise ValueError(f"too many channels: {C} > {NUM_CH}")
+
+    proj = project_gaussians(
+        means, quats, scales, viewmat, K,
+        config.width, config.height,
+        near_plane=config.near_plane, far_plane=config.far_plane,
+        antialiased=(config.rasterize_mode == "antialiased"),
+    )
+    means2d = proj.means2d
+    if tap2d is not None:
+        means2d = means2d + tap2d
+    if absgrad_sink is None:
+        absgrad_sink = jnp.zeros((N, 2), means.dtype)
+
+    op_eff = opacities * proj.compensations
+
+    cols = colors
+    if config.with_depth:
+        cols = jnp.concatenate([cols, proj.depths[:, None]], axis=-1)
+    c_total = cols.shape[-1]
+
+    backend = config.resolve_backend()
+
+    if backend == "reference":
+        accum, t_out = blend_reference(
+            proj.replace(means2d=means2d), op_eff, cols, _depth_perm(proj),
+            width=config.width, height=config.height, tile_size=config.tile_size,
+        )
+        alpha = (1.0 - t_out)[..., None]
+        render = _finalize(accum, alpha, config, c_total)
+        info = dict(
+            means2d=means2d, radii=proj.radii, depths=proj.depths,
+            n_intersections=jnp.zeros((), jnp.int32),
+        )
+        return render, alpha, info
+
+    binned = binning.bin_gaussians(
+        means2d, proj.radii, proj.depths, proj.valid,
+        width=config.width, height=config.height,
+        tile_size=config.tile_size,
+        max_intersections=config.max_intersections,
+    )
+
+    # Pack per-gaussian rows, reorder to depth order, pad sentinel row,
+    # gather to intersection order, transpose to attr-major.
+    zeros_n = jnp.zeros((N,), means.dtype)
+    geom_n = jnp.stack(
+        [means2d[:, 0], means2d[:, 1],
+         proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
+         op_eff, zeros_n, zeros_n],
+        axis=-1,
+    )  # [N, 8]
+    col_n = jnp.concatenate(
+        [cols, jnp.zeros((N, NUM_CH - c_total), means.dtype)], axis=-1
+    )  # [N, 8]
+    geom_pad = jnp.concatenate([geom_n[binned.perm], jnp.zeros((1, NUM_GEOM), means.dtype)])
+    col_pad = jnp.concatenate([col_n[binned.perm], jnp.zeros((1, NUM_CH), means.dtype)])
+    geom_t = geom_pad[binned.gidx].T  # [8, cap]
+    col_t = col_pad[binned.gidx].T    # [8, cap]
+
+    statics = _BlendStatics(
+        tile_size=config.tile_size, tiles_x=config.tiles_x,
+        backend=backend, interpret=config.interpret,
+    )
+    rgb_tiles, t_final = _blend(
+        statics, geom_t, col_t,
+        binned.tile_offsets, binned.tile_nchunks,
+        binned.gidx, binned.perm, absgrad_sink,
+    )
+
+    ts = config.tile_size
+    img = rgb_tiles.reshape(config.tiles_y, config.tiles_x, NUM_CH, ts, ts)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(
+        config.tiles_y * ts, config.tiles_x * ts, NUM_CH
+    )[: config.height, : config.width, :c_total]
+    t_img = t_final.reshape(config.tiles_y, config.tiles_x, ts, ts)
+    t_img = t_img.transpose(0, 2, 1, 3).reshape(
+        config.tiles_y * ts, config.tiles_x * ts
+    )[: config.height, : config.width]
+    alpha = (1.0 - t_img)[..., None]
+
+    render = _finalize(img, alpha, config, c_total)
+    info = dict(
+        means2d=means2d, radii=proj.radii, depths=proj.depths,
+        n_intersections=binned.n_intersections,
+    )
+    return render, alpha, info
+
+
+def _depth_perm(proj):
+    depth_key = jnp.where(proj.valid, proj.depths, jnp.inf)
+    _, perm = jax.lax.sort(
+        (depth_key, jnp.arange(depth_key.shape[0], dtype=jnp.int32)),
+        num_keys=1, is_stable=True,
+    )
+    return perm
+
+
+def _finalize(accum: jax.Array, alpha: jax.Array, config: RasterizeConfig, c_total: int):
+    """Apply ED normalization (gsplat: last channel / clamp(alpha))."""
+    if config.render_mode.endswith("ED"):
+        depth = accum[..., -1:] / jnp.maximum(alpha, 1e-10)
+        return jnp.concatenate([accum[..., : c_total - 1], depth], axis=-1)
+    return accum[..., :c_total]
