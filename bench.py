@@ -1,0 +1,125 @@
+"""Benchmark: differentiable rasterization throughput on one TPU chip.
+
+Measures forward+backward rays/s on the MTGS training workload shape:
+1M gaussians, 960x540 render (the reference eval protocol: 0.5x scale,
+`mtgs/config/MTGS.py:43`), photometric loss, full parameter gradients.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is relative to 2.0e6 rays/s fwd+bwd — the single-GPU
+throughput class of the reference implementation (gsplat-based 3DGS
+trainers run ~3-5 full-image iters/s at 0.5M rays on A100-class GPUs;
+the MTGS repo publishes no numbers in-repo, see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+BASELINE_RAYS_PER_S = 2.0e6
+WIDTH, HEIGHT = 960, 540
+N_GAUSS = 1_000_000
+MAX_ISECT = 4 << 20
+
+
+def make_scene(seed=0):
+    rng = np.random.default_rng(seed)
+    # driving-scene-like layout: ground carpet + structures + far shell
+    n_ground = N_GAUSS // 2
+    n_struct = N_GAUSS // 3
+    n_far = N_GAUSS - n_ground - n_struct
+    gx = rng.uniform(-60, 60, n_ground)
+    gy = rng.uniform(-20, 20, n_ground)
+    ground = np.stack([gx, gy, np.zeros_like(gx)], -1)
+    struct = np.stack(
+        [rng.uniform(-60, 60, n_struct), rng.uniform(-25, 25, n_struct),
+         rng.uniform(0, 12, n_struct)], -1)
+    theta = rng.uniform(0, 2 * np.pi, n_far)
+    phi = rng.uniform(np.pi / 4, np.pi / 2, n_far)
+    far = 400.0 * np.stack(
+        [np.sin(phi) * np.cos(theta), np.sin(phi) * np.sin(theta), np.cos(phi)], -1)
+    means = jnp.asarray(np.concatenate([ground, struct, far]), jnp.float32)
+    scales = jnp.asarray(
+        np.concatenate([
+            rng.lognormal(-2.3, 0.4, (n_ground, 3)),
+            rng.lognormal(-2.0, 0.5, (n_struct, 3)),
+            rng.lognormal(0.5, 0.4, (n_far, 3)),
+        ]), jnp.float32)
+    quats = jnp.asarray(rng.normal(size=(N_GAUSS, 4)), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.3, 0.95, N_GAUSS), jnp.float32)
+    colors = jnp.asarray(rng.uniform(0, 1, (N_GAUSS, 3)), jnp.float32)
+    return means, quats, scales, opac, colors
+
+
+def main():
+    from mtgs_tpu.core.camera import camera_to_gsplat_viewmat
+    from mtgs_tpu.raster import RasterizeConfig, rasterize
+
+    means, quats, scales, opac, colors = make_scene()
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0] = [0, -1, 0]
+    c2w[:3, 1] = [0, 0, 1]
+    c2w[:3, 2] = [-1, 0, 0]
+    c2w[:3, 3] = [-55.0, 0.0, 1.6]
+    viewmat = camera_to_gsplat_viewmat(jnp.asarray(c2w))
+    K = jnp.asarray(
+        [[800.0, 0, WIDTH / 2], [0, 800.0, HEIGHT / 2], [0, 0, 1.0]], jnp.float32)
+
+    cfg = RasterizeConfig(
+        width=WIDTH, height=HEIGHT, max_intersections=MAX_ISECT,
+        rasterize_mode="antialiased", render_mode="RGB+ED", backend="auto",
+    )
+    target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32)
+
+    def loss_fn(params):
+        m, q, s, o, c = params
+        render, alpha, _ = rasterize(m, q, s, o, c, viewmat, K, cfg)
+        return jnp.abs(render[..., :3] - target).mean() + 0.1 * alpha.mean()
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    params = (means, quats, scales, opac, colors)
+
+    # report intersection load once
+    _, _, info = jax.jit(lambda p: rasterize(*p, viewmat, K, cfg))(params)
+    n_isect = int(info["n_intersections"])
+    print(f"# n_intersections={n_isect} ({n_isect / N_GAUSS:.2f}/gaussian)",
+          file=sys.stderr)
+    if n_isect > MAX_ISECT:
+        print(f"# WARNING: intersection overflow ({n_isect} > {MAX_ISECT})",
+              file=sys.stderr)
+
+    # warmup (compile)
+    out = grad_fn(params)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = grad_fn(params)
+        # force full materialization every iteration (remote-execution
+        # dispatch can otherwise pipeline past block_until_ready)
+        _ = float(out[1][0][0, 0])
+    dt = (time.perf_counter() - t0) / iters
+
+    rays_per_s = WIDTH * HEIGHT / dt
+    print(f"# fwd+bwd step: {dt * 1e3:.2f} ms  ({rays_per_s / 1e6:.2f} Mrays/s)",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "rays/s/chip fwd+bwd rasterization (1M gaussians, 960x540)",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,9 +14,13 @@ import jax.numpy as jnp
 
 
 def quat_normalize(q: jax.Array, eps: float = 1e-12) -> jax.Array:
-    """Normalize quaternions along the last axis. [..., 4] -> [..., 4]."""
-    norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
-    return q / jnp.maximum(norm, eps)
+    """Normalize quaternions along the last axis. [..., 4] -> [..., 4].
+
+    Epsilon-safe under autodiff: sqrt(sum+eps^2) instead of linalg.norm,
+    whose gradient is NaN at the exact-zero quats that padded/dead array
+    rows carry (their zero cotangents would still propagate 0 * NaN)."""
+    norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + eps * eps)
+    return q / norm
 
 
 def quat_to_rotmat(q: jax.Array) -> jax.Array:

@@ -1,0 +1,117 @@
+"""Full-evaluation pipeline: per-traversal metric aggregation.
+
+Mirror of `MultiTravelEvalPipieline.get_average_eval_image_metrics`
+(`mtgs/scene_model/custom_pipeline.py:145-198` in OpenDriveLab/MTGS):
+renders every eval view, computes the metric set, tags each metric with
+its traversal (`trv{i}_*`), and returns nan-filtered means plus fps —
+the exact `eval_result.json` schema consumed by the benchmark harness
+(`mtgs/tools/batch_exp/run_base_benchmarking.py:111-183`).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from mtgs_tpu.eval.metrics import image_metrics
+from mtgs_tpu.models.scene_graph import SceneAux, SceneParams
+from mtgs_tpu.train.trainer import Batch, TrainerConfig, render_view
+
+
+class EvalConfig(struct.PyTreeNode):
+    color_corrected: bool = struct.field(pytree_node=False, default=True)
+    lpips: bool = struct.field(pytree_node=False, default=True)
+    dinov2: bool = struct.field(pytree_node=False, default=False)
+
+
+def evaluate_scene(
+    params: SceneParams,
+    aux: SceneAux,
+    cfg: TrainerConfig,
+    eval_batches: Iterable[Batch],
+    *,
+    eval_cfg: EvalConfig = EvalConfig(),
+    step: int = 10**9,
+    travel_modes: Optional[Dict[int, str]] = None,
+    output_path: Optional[str] = None,
+) -> Dict[str, float]:
+    """Render + score all eval views; aggregate overall and per-traversal.
+
+    Args:
+        travel_modes: optional map travel_index -> scene travel_mode for
+            unseen-traversal fallback ("index"/"mean"/"null").
+    """
+    render_fns: Dict[str, any] = {}
+
+    def get_render(mode: str):
+        if mode not in render_fns:
+            render_fns[mode] = jax.jit(
+                lambda p, b: render_view(
+                    p, aux, cfg, b, jnp.asarray(step, jnp.int32),
+                    training=False, travel_mode=mode,
+                )
+            )
+        return render_fns[mode]
+
+    metric_fn = jax.jit(
+        lambda pred, pred_app, gt, mask, pd, gd: image_metrics(
+            pred, pred_app, gt, mask,
+            pred_depth=pd, gt_depth=gd,
+            color_corrected=eval_cfg.color_corrected,
+        )
+    )
+    lpips_fn = None
+    if eval_cfg.lpips:
+        from mtgs_tpu.eval.lpips import get_lpips
+        lpips_fn = get_lpips()
+
+    rows: List[Dict[str, float]] = []
+    fps = []
+    for batch in eval_batches:
+        mode = "index"
+        if travel_modes is not None:
+            mode = travel_modes.get(int(batch.travel_index), "index")
+        fn = get_render(mode)
+        t0 = time.perf_counter()
+        out = fn(params, batch)
+        jax.block_until_ready(out["rgb"])
+        dt = time.perf_counter() - t0
+        h, w = out["rgb"].shape[:2]
+        fps.append(1.0 / max(dt, 1e-9))
+
+        gt_depth = batch.lidar_depth
+        m = metric_fn(
+            out["rgb"], out["rgb_appearance"], batch.image, batch.mask,
+            out["depth"] if gt_depth is not None else None, gt_depth,
+        )
+        row = {k: float(v) for k, v in m.items()}
+        if lpips_fn is not None:
+            mval = np.asarray(batch.mask)
+            lp = lpips_fn(
+                np.asarray(out["rgb_appearance"]) * mval,
+                np.asarray(batch.image) * mval,
+            )
+            if lp is not None:
+                row["lpips"] = float(lp)
+        trv = int(batch.travel_index)
+        rows.append({**row, **{f"trv{trv}_{k}": v for k, v in row.items()}})
+
+    # nan-filtered means per key (ref custom_pipeline.py:185-196)
+    keys = sorted({k for r in rows for k in r})
+    result: Dict[str, float] = {}
+    for k in keys:
+        vals = np.array([r[k] for r in rows if k in r and np.isfinite(r[k])])
+        result[k] = float(vals.mean()) if len(vals) else float("nan")
+    result["fps"] = float(np.mean(fps)) if fps else float("nan")
+    result["num_images"] = len(rows)
+
+    if output_path is not None:
+        with open(output_path, "w") as f:
+            json.dump(result, f, indent=2)
+    return result

@@ -51,6 +51,9 @@ def _fwd_kernel(
     # inputs (HBM)
     geom_hbm,
     col_hbm,
+    # constants (VMEM)
+    f_ref,
+    lt_ref,
     # outputs (VMEM blocks)
     rgb_ref,
     tfin_ref,
@@ -66,8 +69,8 @@ def _fwd_kernel(
     offset = off_ref[t]
     nch = nch_ref[t]
     ox, oy = _origin(t, tiles_x, tile_size)
-    F = cm.pixel_features(tile_size)
-    LT = cm.tri_inclusive(CHUNK)
+    F = f_ref[:]
+    LT = lt_ref[:]
     P = tile_size * tile_size
 
     def cond(state):
@@ -76,7 +79,7 @@ def _fwd_kernel(
 
     def body(state):
         k, carry = state
-        idx = offset + k * CHUNK
+        idx = pl.multiple_of(offset + k * CHUNK, CHUNK)
         cp_g = pltpu.make_async_copy(
             geom_hbm.at[:, pl.ds(idx, CHUNK)], geom_s, sems.at[0]
         )
@@ -93,7 +96,7 @@ def _fwd_kernel(
     init = (jnp.zeros((), jnp.int32), cm.init_carry(tile_size))
     _, carry = jax.lax.while_loop(cond, body, init)
     rgb_ref[0] = carry.rgb
-    tfin_ref[0] = jnp.exp(carry.log_t_out).reshape(1, P)[0]
+    tfin_ref[0] = jnp.exp(carry.log_t_out).reshape(1, P)
 
 
 def blend_forward_pallas(
@@ -115,10 +118,12 @@ def blend_forward_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((P, NUM_GEOM), lambda t, *_: (0, 0)),
+            pl.BlockSpec((CHUNK, CHUNK), lambda t, *_: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, NUM_CH, P), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, P), lambda t, *_: (t, 0)),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((NUM_GEOM, CHUNK), jnp.float32),
@@ -127,15 +132,18 @@ def blend_forward_pallas(
         ],
     )
     kernel = functools.partial(_fwd_kernel, tile_size=tile_size, tiles_x=tiles_x)
-    return pl.pallas_call(
+    rgb, tfin = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, NUM_CH, P), jnp.float32),
-            jax.ShapeDtypeStruct((T, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
         ],
         interpret=interpret,
-    )(tile_offsets, tile_nchunks, geom_t, col_t)
+    )(tile_offsets, tile_nchunks, geom_t, col_t,
+      cm.pixel_features(tile_size), cm.tri_inclusive(CHUNK))
+    return rgb, tfin[:, 0, :]
+
 
 
 def _bwd_kernel(
@@ -144,6 +152,8 @@ def _bwd_kernel(
     # inputs
     geom_hbm,
     col_hbm,
+    f_ref,
+    lt_ref,
     rgb_ref,     # [1, 8, P] forward accumulated color
     tfin_ref,    # [1, P]
     grgb_ref,    # [1, 8, P]
@@ -166,17 +176,17 @@ def _bwd_kernel(
     offset = off_ref[t]
     nch = nch_ref[t]
     ox, oy = _origin(t, tiles_x, tile_size)
-    F = cm.pixel_features(tile_size)
-    LT = cm.tri_inclusive(CHUNK)
+    F = f_ref[:]
+    LT = lt_ref[:]
     P = tile_size * tile_size
 
     grgb = grgb_ref[0]                       # [8, P]
-    gt = gt_ref[0].reshape(P, 1)
+    gt = gt_ref[0].reshape(P, 1)  # block (1,1,P) -> row -> column
     tf = tfin_ref[0].reshape(P, 1)
     total_dot = jnp.sum(grgb * rgb_ref[0], axis=0).reshape(P, 1)
 
     def body(k, carry):
-        idx = offset + k * CHUNK
+        idx = pl.multiple_of(offset + k * CHUNK, CHUNK)
         cp_g = pltpu.make_async_copy(
             geom_hbm.at[:, pl.ds(idx, CHUNK)], geom_s, sems.at[0]
         )
@@ -240,10 +250,12 @@ def blend_backward_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((P, NUM_GEOM), lambda t, *_: (0, 0)),
+            pl.BlockSpec((CHUNK, CHUNK), lambda t, *_: (0, 0)),
             pl.BlockSpec((1, NUM_CH, P), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, P), lambda t, *_: (t, 0)),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, NUM_CH, P), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, P), lambda t, *_: (t, 0)),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -273,8 +285,10 @@ def blend_backward_pallas(
         tile_nchunks,
         geom_t,
         col_t,
+        cm.pixel_features(tile_size),
+        cm.tri_inclusive(CHUNK),
         rgb_tiles,
-        t_final,
+        t_final[:, None, :],
         g_rgb,
-        g_t,
+        g_t[:, None, :],
     )

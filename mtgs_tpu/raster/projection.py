@@ -99,9 +99,13 @@ def project_gaussians(
     lim_y_pos = (height - cy) / fy + 0.3 * tan_fovy
     lim_y_neg = cy / fy + 0.3 * tan_fovy
 
-    rz = 1.0 / jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
-    tx = z * jnp.clip(mean_c[:, 0] * rz, -lim_x_neg, lim_x_pos)
-    ty = z * jnp.clip(mean_c[:, 1] * rz, -lim_y_neg, lim_y_pos)
+    # z-safe reciprocal: gaussians at/behind the near plane are culled, but
+    # their VJP would still produce inf * 0 = NaN through 1/z terms.
+    z_ok = z > near_plane
+    z_safe = jnp.where(z_ok, z, 1.0)
+    rz = 1.0 / z_safe
+    tx = z_safe * jnp.clip(mean_c[:, 0] * rz, -lim_x_neg, lim_x_pos)
+    ty = z_safe * jnp.clip(mean_c[:, 1] * rz, -lim_y_neg, lim_y_pos)
 
     rz2 = rz * rz
     # J = [[fx/z, 0, -fx tx/z^2], [0, fy/z, -fy ty/z^2]]
@@ -124,12 +128,21 @@ def project_gaussians(
     det_blur = v00b * v11b - v01 * v01
 
     if antialiased:
-        compensations = jnp.sqrt(jnp.maximum(det_orig / jnp.maximum(det_blur, 1e-32), 0.0))
+        # double-where: sqrt has an infinite gradient at 0, and culled
+        # (zero-cotangent) gaussians would still turn 0 * inf into NaN.
+        ratio = det_orig / jnp.maximum(det_blur, 1e-32)
+        pos = ratio > 0.0
+        compensations = jnp.where(
+            pos, jnp.sqrt(jnp.where(pos, ratio, 1.0)), 0.0
+        )
     else:
         compensations = jnp.ones_like(det_blur)
 
-    det = jnp.maximum(det_blur, 1e-32)
-    inv_det = 1.0 / det
+    # det-safe inverse: degenerate (culled) covariances otherwise yield
+    # inf-scale conics whose zero-cotangent VJP still NaNs.
+    det_ok = det_blur > 1e-16
+    det_safe = jnp.where(det_ok, det_blur, 1.0)
+    inv_det = 1.0 / det_safe
     conics = jnp.stack([v11b * inv_det, -v01 * inv_det, v00b * inv_det], axis=-1)
 
     # 3-sigma screen radius from the larger eigenvalue of the blurred cov2d.
@@ -141,7 +154,7 @@ def project_gaussians(
         [fx * mean_c[:, 0] * rz + cx, fy * mean_c[:, 1] * rz + cy], axis=-1
     )
 
-    valid = (z > near_plane) & (z < far_plane) & (det_blur > 0.0)
+    valid = z_ok & (z < far_plane) & det_ok
     valid &= radius_f > radius_clip
     # inside-image test (bbox overlap)
     valid &= (means2d[:, 0] + radius_f > 0) & (means2d[:, 0] - radius_f < width)

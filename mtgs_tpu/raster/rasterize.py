@@ -216,8 +216,12 @@ def rasterize(
         )
         return render, alpha, info
 
+    # zero-opacity gaussians (gated-out scene-graph nodes, dead padded
+    # rows) can never contribute — drop them before binning so padded
+    # capacities don't cost intersections.
+    live = proj.valid & (jax.lax.stop_gradient(op_eff) > 0)
     binned = binning.bin_gaussians(
-        means2d, proj.radii, proj.depths, proj.valid,
+        means2d, proj.radii, proj.depths, live,
         width=config.width, height=config.height,
         tile_size=config.tile_size,
         max_intersections=config.max_intersections,

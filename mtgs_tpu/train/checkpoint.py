@@ -1,0 +1,123 @@
+"""Checkpointing: orbax save/resume + reference torch-checkpoint import.
+
+Replaces the reference's torch-pickle checkpoint flow
+(`mtgs/scene_model/custom_trainer.py:138-212` in OpenDriveLab/MTGS:
+`step-{step:09d}.ckpt` with pipeline/optimizer/scheduler state,
+latest-only retention, optimizer state stripped on completion) with
+orbax over the explicit SceneParams/SceneAux/opt-state trees. The
+reference's "N changes over time" load tolerance is free here: arrays
+are capacity-padded, and the importer re-pads to any capacity.
+
+`import_torch_checkpoint` maps a released MTGS torch checkpoint
+(HF OpenDriveLab/MTGS, `docs/running.md:16-35`) onto our trees for the
+rendering/metric parity gates — torch (CPU) is only needed for this
+import path.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtgs_tpu.models.gaussians import GaussianNodeParams, NodeAux, node_capacity
+
+
+def save_checkpoint(path: str | Path, state, aux, *, keep_optimizer: bool = True):
+    """Save TrainState + SceneAux with orbax (latest-only handled by caller)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "params": state.params,
+        "densify": state.densify,
+        "step": state.step,
+        "aux": aux,
+    }
+    if keep_optimizer:
+        payload["opt_state"] = state.opt_state
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path: str | Path, template: Dict[str, Any]) -> Dict[str, Any]:
+    """Restore a payload saved by `save_checkpoint` given a matching
+    abstract template (same tree structure/shapes)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(Path(path).absolute(), template)
+
+
+# ------------------------------------------------------------ torch import
+
+def _pad_to(arr: np.ndarray, cap: int) -> np.ndarray:
+    out = np.zeros((cap,) + arr.shape[1:], arr.dtype)
+    out[: len(arr)] = arr
+    return out
+
+
+def node_from_torch_params(
+    gp: Dict[str, np.ndarray], *, capacity: Optional[int] = None
+) -> Tuple[GaussianNodeParams, NodeAux]:
+    """Build a padded node from a reference `gauss_params` dict
+    (means/scales/quats/features_dc/features_rest/opacities
+    [/features_adapters])."""
+    n = len(gp["means"])
+    cap = capacity or node_capacity(n)
+    adapters = gp.get("features_adapters")
+    if adapters is None:
+        adapters = np.zeros((n, 0, 3), np.float32)
+    params = GaussianNodeParams(
+        means=jnp.asarray(_pad_to(gp["means"], cap)),
+        scales=jnp.asarray(_pad_to(gp["scales"], cap)),
+        quats=jnp.asarray(_pad_to(gp["quats"], cap)),
+        features_dc=jnp.asarray(_pad_to(gp["features_dc"], cap)),
+        features_rest=jnp.asarray(_pad_to(gp["features_rest"], cap)),
+        opacities=jnp.asarray(_pad_to(gp["opacities"], cap)),
+        features_adapters=jnp.asarray(_pad_to(adapters, cap)),
+    )
+    alive = np.zeros((cap,), np.float32)
+    alive[:n] = 1.0
+    return params, NodeAux(alive=jnp.asarray(alive), num_alive=jnp.asarray(n, jnp.int32))
+
+
+def import_torch_checkpoint(path: str | Path) -> Dict[str, Any]:
+    """Parse a reference MTGS torch checkpoint into node param dicts.
+
+    Returns {'step': int, 'nodes': {node_name: {param: np.ndarray}},
+    'appearance': ..., 'camera_opt': ...}; node names follow the
+    reference's `gaussian_models.<name>.gauss_params.<param>` keys.
+    """
+    import torch
+
+    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    state = ckpt.get("pipeline", ckpt)
+    step = int(ckpt.get("step", 0))
+
+    nodes: Dict[str, Dict[str, np.ndarray]] = {}
+    extras: Dict[str, np.ndarray] = {}
+    pat = re.compile(r"gaussian_models\.(.+?)\.gauss_params\.(\w+)$")
+    for key, val in state.items():
+        m = pat.search(key)
+        arr = val.detach().cpu().numpy() if hasattr(val, "detach") else np.asarray(val)
+        if m:
+            nodes.setdefault(m.group(1), {})[m.group(2)] = arr
+        elif "appearance_model" in key and key.endswith("exposure_params"):
+            extras["appearance"] = arr
+        elif key.endswith("camera_optimizer.pose_adjustment"):
+            extras["camera_opt"] = arr
+        elif "instance_quats" in key:
+            m2 = re.search(r"gaussian_models\.(.+?)\.instance_quats$", key)
+            if m2:
+                nodes.setdefault(m2.group(1), {})["instance_quats"] = arr
+        elif "instance_trans" in key:
+            m2 = re.search(r"gaussian_models\.(.+?)\.instance_trans$", key)
+            if m2:
+                nodes.setdefault(m2.group(1), {})["instance_trans"] = arr
+    return {"step": step, "nodes": nodes, **extras}

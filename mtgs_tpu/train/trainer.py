@@ -1,0 +1,529 @@
+"""The training engine: jitted train step + host-side control loop.
+
+Replaces the reference's nerfstudio Trainer/VanillaPipeline stack
+(`mtgs/scene_model/custom_trainer.py`, `custom_pipeline.py` in
+OpenDriveLab/MTGS) with a functional design:
+
+  * `render_view` — the full forward: camera-opt -> scene-graph collect ->
+    rasterize -> background composite -> exposure (the jax mirror of
+    `MTGSSceneModel.get_outputs`, `mtgs_scene_graph.py:547-706`).
+  * `train_step` — ONE jitted function: loss, gradients (including the
+    absgrad densify signal via the rasterizer's gradient sinks), Adam
+    update, densify-stat accumulation, metrics. The reference needs
+    retain_grad + four callbacks per step; here it is one XLA program.
+  * `Trainer` — host loop: feeds batches, triggers the jitted refine /
+    opacity-reset passes on the reference's schedule, grows node
+    capacities and intersection buffers outside jit when they fill up.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from mtgs_tpu.core.camera import camera_to_gsplat_viewmat
+from mtgs_tpu.models.appearance import apply_exposure
+from mtgs_tpu.models.gaussians import GaussianNodeParams, NodeAux
+from mtgs_tpu.models.scene_graph import (
+    SceneAux,
+    SceneConfig,
+    SceneParams,
+    ViewInputs,
+    collect_gaussians,
+    node_segments,
+)
+from mtgs_tpu.raster import RasterizeConfig, rasterize
+from mtgs_tpu.train import camera_opt as cam_opt_lib
+from mtgs_tpu.train import control as ctrl
+from mtgs_tpu.train import losses as loss_lib
+from mtgs_tpu.train import optim as optim_lib
+
+
+class TrainerConfig(struct.PyTreeNode):
+    width: int = struct.field(pytree_node=False, default=960)
+    height: int = struct.field(pytree_node=False, default=540)
+    tile_size: int = struct.field(pytree_node=False, default=32)
+    max_intersections: int = struct.field(pytree_node=False, default=1 << 21)
+    rasterize_mode: str = struct.field(pytree_node=False, default="antialiased")
+    backend: str = struct.field(pytree_node=False, default="auto")
+    max_steps: int = struct.field(pytree_node=False, default=30001)
+    predict_normals: bool = struct.field(pytree_node=False, default=True)
+    background_color: float = struct.field(pytree_node=False, default=0.0)
+    loss: loss_lib.LossConfig = struct.field(
+        pytree_node=False, default_factory=loss_lib.LossConfig
+    )
+    control: ctrl.ControlConfig = struct.field(
+        pytree_node=False, default_factory=ctrl.ControlConfig
+    )
+    scene: SceneConfig = struct.field(pytree_node=False, default_factory=SceneConfig)
+
+    def raster_config(self) -> RasterizeConfig:
+        return RasterizeConfig(
+            width=self.width,
+            height=self.height,
+            tile_size=self.tile_size,
+            max_intersections=self.max_intersections,
+            rasterize_mode=self.rasterize_mode,
+            render_mode="RGB+ED",
+            backend=self.backend,
+        )
+
+
+@struct.dataclass
+class Batch:
+    """One training view (all traced)."""
+
+    image: jax.Array                 # [H, W, 3] float in [0, 1]
+    mask: jax.Array                  # [H, W, 1] float 0/1
+    c2w: jax.Array                   # [4, 4] scene-frame camera-to-world
+    K: jax.Array                     # [3, 3]
+    cam_idx: jax.Array               # [] int32 physical camera id
+    image_idx: jax.Array             # [] int32 image row (camera_opt index)
+    travel_index: jax.Array          # [] int32
+    frame_idx: jax.Array             # [] int32
+    timestamp: jax.Array             # [] float32
+    lidar_depth: Optional[jax.Array] = None    # [H, W, 1]
+    pseudo_depth: Optional[jax.Array] = None   # [H, W, 1]
+
+
+@struct.dataclass
+class TrainState:
+    params: SceneParams
+    opt_state: Any
+    densify: Dict[str, ctrl.DensifyState]
+    step: jax.Array
+    key: jax.Array
+
+
+def render_view(
+    params: SceneParams,
+    aux: SceneAux,
+    cfg: TrainerConfig,
+    batch: Batch,
+    step: jax.Array,
+    *,
+    training: bool = True,
+    tap2d: Optional[jax.Array] = None,
+    absgrad_sink: Optional[jax.Array] = None,
+    travel_mode: Optional[str] = None,
+) -> Dict[str, jax.Array]:
+    """Full forward pass for one camera (ref `get_outputs`)."""
+    c2w = batch.c2w
+    if training:
+        c2w = cam_opt_lib.apply_camera_opt(c2w, params.camera_opt[batch.image_idx])
+    scene_cfg = cfg.scene
+    if travel_mode is not None:
+        scene_cfg = dataclasses.replace(scene_cfg, travel_mode=travel_mode)
+
+    view = ViewInputs(
+        travel_index=batch.travel_index,
+        frame_idx=batch.frame_idx,
+        timestamp=batch.timestamp,
+        cam_pos=c2w[:3, 3],
+        sh_mask=ctrl.sh_degree_mask(step, cfg.control),
+    )
+    g = collect_gaussians(params, aux, scene_cfg, view)
+
+    colors = g["colors"]
+    if cfg.predict_normals:
+        from mtgs_tpu.core.quat import quat_to_rotmat
+
+        normals = loss_lib.gaussian_camera_normals(
+            g["scales"], quat_to_rotmat(g["quats"]), g["means"],
+            c2w[:3, 3], c2w[:3, :3],
+        )
+        colors = jnp.concatenate([colors, normals], axis=-1)
+
+    viewmat = camera_to_gsplat_viewmat(c2w)
+    render, alpha, info = rasterize(
+        g["means"], g["quats"], g["scales"], g["opacities"], colors,
+        viewmat, batch.K, cfg.raster_config(),
+        tap2d=tap2d, absgrad_sink=absgrad_sink,
+    )
+
+    bg = jnp.full((3,), cfg.background_color, render.dtype)
+    rgb = jnp.clip(render[..., :3] + (1.0 - alpha) * bg, 0.0, 1.0)
+    rgb_appearance = apply_exposure(params.appearance, rgb, batch.cam_idx)
+
+    depth = render[..., -1:]
+    depth = jnp.where(alpha > 0, depth, jax.lax.stop_gradient(depth).max())
+
+    out = dict(
+        rgb=rgb,
+        rgb_appearance=rgb_appearance,
+        depth=depth,
+        accumulation=alpha,
+        background=bg,
+        radii=info["radii"],
+        means2d=info["means2d"],
+        n_intersections=info["n_intersections"],
+        gaussians=g,
+    )
+    if cfg.predict_normals:
+        n = render[..., 3:6]
+        # epsilon-safe normalize: empty (alpha=0) pixels have exactly-zero
+        # normals, and linalg.norm's gradient NaNs there (the unmasked TV
+        # term backprops through every pixel).
+        n = n / jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
+        out["normal"] = (n + 1.0) / 2.0
+    return out
+
+
+def _scene_losses(
+    params: SceneParams, aux: SceneAux, out: Dict[str, jax.Array], cfg: TrainerConfig,
+    step: jax.Array,
+) -> Dict[str, jax.Array]:
+    """Parameter-space regularizers (ref `get_loss_dict` tail,
+    `mtgs_scene_graph.py:937-981` + camera-opt penalty)."""
+    losses: Dict[str, jax.Array] = {}
+    lcfg = cfg.loss
+    g = out["gaussians"]
+    alive = (g["opacities"] > 0).astype(g["scales"].dtype)
+    if lcfg.two_d_gaussians:
+        losses["two_d_reg"] = loss_lib.two_d_reg(g["scales"], alive)
+    if lcfg.sharp_shape_reg_lambda > 0:
+        losses["sharp_shape"] = lcfg.sharp_shape_reg_lambda * loss_lib.sharp_shape_reg(
+            g["scales"], alive, lcfg.sharp_shape_max_ratio, lcfg.two_d_gaussians
+        )
+    if lcfg.adapter_lambda > 0:
+        total = jnp.abs(params.background.features_adapters).sum()
+        if params.skybox is not None:
+            total = total + jnp.abs(params.skybox.features_adapters).sum()
+        losses["adapter"] = lcfg.adapter_lambda * total
+    losses["camera_opt"] = cam_opt_lib.camera_opt_penalty(
+        params.camera_opt, lcfg.camera_opt_trans_penalty, lcfg.camera_opt_rot_penalty
+    )
+    return losses
+
+
+def loss_and_grads(
+    params: SceneParams, aux: SceneAux, cfg: TrainerConfig, batch: Batch, step: jax.Array
+):
+    """Loss + parameter gradients + absgrad densify signal for one view.
+
+    Shared by the single-device and data-parallel train steps. The
+    absgrad sink is an extra differentiated argument of the SAME vjp, so
+    one rasterizer backward yields parameter grads and the densify
+    signal together (nesting value_and_grad would instead linearize the
+    Pallas backward, which has no JVP rule)."""
+
+    def loss_fn(p: SceneParams, sink: jax.Array):
+        out = render_view(p, aux, cfg, batch, step, absgrad_sink=sink)
+        losses = loss_lib.compute_losses(
+            cfg.loss,
+            gt_img=batch.image,
+            pred_img=out["rgb"],
+            pred_img_appearance=out["rgb_appearance"],
+            mask=batch.mask,
+            pred_depth=out["depth"],
+            gt_lidar_depth=batch.lidar_depth,
+            gt_pseudo_depth=batch.pseudo_depth,
+            pred_normal=out.get("normal"),
+            K=batch.K,
+        )
+        losses.update(_scene_losses(p, aux, out, cfg, step))
+        total = sum(losses.values())
+        return total, (losses, out)
+
+    sink0 = jnp.zeros((_total_capacity(params), 2), jnp.float32)
+    (total, (losses, out)), (grads, sink_grad) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(params, sink0)
+    return total, losses, out, sink_grad, grads
+
+
+def make_train_step(cfg: TrainerConfig, optimizer):
+    """Build the jitted train step. `aux` is a traced argument, so
+    refinement (which rewrites alive masks) does NOT retrigger
+    compilation — only capacity growth (shape change) does."""
+
+    def step_fn(state: TrainState, aux: SceneAux, batch: Batch):
+        total, losses, out, sink_grad, grads = loss_and_grads(
+            state.params, aux, cfg, batch, state.step
+        )
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # densify statistics per node segment
+        densify = _accumulate_all(
+            state.params, state.densify, sink_grad,
+            out["radii"], out["gaussians"]["opacities"], (cfg.width, cfg.height),
+        )
+
+        metrics = {k: v for k, v in losses.items()}
+        mse = loss_lib.masked_mean(
+            (batch.image - out["rgb_appearance"]) ** 2, batch.mask
+        )
+        metrics["psnr"] = -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+        metrics["total_loss"] = total
+        metrics["n_intersections"] = out["n_intersections"]
+        metrics["gaussian_count"] = sum(
+            jnp.sum(a.alive)
+            for a in [aux.background, aux.skybox]
+            if a is not None
+        ) + (jnp.sum(aux.instances.alive) if aux.instances is not None else 0.0)
+
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            densify=densify,
+            step=state.step + 1,
+            key=state.key,
+        )
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def _total_capacity(params: SceneParams) -> int:
+    segs = node_segments(params)
+    return segs[-1][2]
+
+
+def _accumulate_all(params, densify, sink_grad, radii, opac, wh):
+    """Route per-segment absgrad/radii slices into each node's stats."""
+    new = dict(densify)
+    segs = node_segments(params)
+    for name, s, e in segs:
+        if name == "background":
+            new["background"] = ctrl.accumulate_stats(
+                densify["background"], sink_grad[s:e], radii[s:e], opac[s:e], wh
+            )
+        elif name == "skybox":
+            new["skybox"] = ctrl.accumulate_stats(
+                densify["skybox"], sink_grad[s:e], radii[s:e], opac[s:e], wh
+            )
+    # stacked instances: contiguous block [I, cap]
+    inst_segs = [(s, e) for n, s, e in segs if n.startswith("instance_")]
+    if inst_segs:
+        s0, e1 = inst_segs[0][0], inst_segs[-1][1]
+        I = len(inst_segs)
+        cap = (e1 - s0) // I
+        new["instances"] = jax.tree.map(
+            lambda old, upd: upd,
+            densify["instances"],
+            jax.vmap(ctrl.accumulate_stats, in_axes=(0, 0, 0, 0, None))(
+                densify["instances"],
+                sink_grad[s0:e1].reshape(I, cap, 2),
+                radii[s0:e1].reshape(I, cap),
+                opac[s0:e1].reshape(I, cap),
+                wh,
+            ),
+        )
+    def_segs = [(s, e) for n, s, e in segs if n.startswith("deformable_")]
+    if def_segs:
+        s0, e1 = def_segs[0][0], def_segs[-1][1]
+        I = len(def_segs)
+        cap = (e1 - s0) // I
+        new["deformables"] = jax.vmap(ctrl.accumulate_stats, in_axes=(0, 0, 0, 0, None))(
+            densify["deformables"],
+            sink_grad[s0:e1].reshape(I, cap, 2),
+            radii[s0:e1].reshape(I, cap),
+            opac[s0:e1].reshape(I, cap),
+            wh,
+        )
+    return new
+
+
+class Trainer:
+    """Host-side control loop (ref `CustomTrainer.train`)."""
+
+    def __init__(
+        self,
+        cfg: TrainerConfig,
+        params: SceneParams,
+        aux: SceneAux,
+        data: Iterator[Batch],
+        optim_config: Optional[optim_lib.OptimConfig] = None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.aux = aux
+        self.data = data
+        self.optimizer = optim_lib.build_optimizer(
+            params,
+            optim_config
+            or optim_lib.OptimConfig(groups=optim_lib.default_groups(cfg.max_steps)),
+        )
+        densify = {"background": ctrl.DensifyState.zeros(params.background.capacity)}
+        if params.skybox is not None:
+            densify["skybox"] = ctrl.DensifyState.zeros(params.skybox.capacity)
+        if params.instances is not None:
+            I, cap = params.instances.node.means.shape[:2]
+            densify["instances"] = jax.vmap(lambda _: ctrl.DensifyState.zeros(cap))(
+                jnp.arange(I)
+            )
+        if params.deformables is not None:
+            I, cap = params.deformables.node.means.shape[:2]
+            densify["deformables"] = jax.vmap(lambda _: ctrl.DensifyState.zeros(cap))(
+                jnp.arange(I)
+            )
+        self.state = TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            densify=densify,
+            step=jnp.zeros((), jnp.int32),
+            key=jax.random.key(seed),
+        )
+        self._step_fn = make_train_step(cfg, self.optimizer)
+        self._refine_fns: Dict[Tuple[bool, bool, bool], Any] = {}
+
+    # ------------------------------------------------------------- refine
+
+    def _get_refine_fn(self, flags):
+        if flags not in self._refine_fns:
+            cc = self.cfg.control
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def refine(state: TrainState, aux: SceneAux):
+                do_densify, do_cull_big, use_screen = flags
+                key, k1, k2, k3 = jax.random.split(state.key, 4)
+                adam_state, sched_state = state.opt_state
+                mu, nu = adam_state.mu, adam_state.nu
+                params = state.params
+                densify = dict(state.densify)
+                new_aux = aux
+
+                out = ctrl.refine_node(
+                    k1, params.background, aux.background,
+                    mu.background, nu.background, densify["background"],
+                    cc, state.step,
+                    do_densify=do_densify, do_cull_big=do_cull_big,
+                    use_screen_size=use_screen,
+                )
+                params = params.replace(background=out.params)
+                mu = mu.replace(background=out.mu)
+                nu = nu.replace(background=out.nu)
+                new_aux = new_aux.replace(background=out.aux)
+                densify["background"] = out.state
+
+                if params.skybox is not None:
+                    sky_cc = dataclasses.replace(
+                        cc, far_dist=1e8, far_scale_factor=1.0
+                    )
+                    outs = ctrl.refine_node(
+                        k2, params.skybox, aux.skybox, mu.skybox, nu.skybox,
+                        densify["skybox"], sky_cc, state.step,
+                        do_densify=do_densify, do_cull_big=do_cull_big,
+                        use_screen_size=use_screen,
+                    )
+                    params = params.replace(skybox=outs.params)
+                    mu = mu.replace(skybox=outs.mu)
+                    nu = nu.replace(skybox=outs.nu)
+                    new_aux = new_aux.replace(skybox=outs.aux)
+                    densify["skybox"] = outs.state
+
+                if params.instances is not None:
+                    I = params.instances.node.means.shape[0]
+                    keys = jax.random.split(k3, I)
+                    vref = jax.vmap(
+                        functools.partial(
+                            ctrl.refine_node,
+                            cfg=cc,
+                            step=state.step,
+                            do_densify=do_densify,
+                            do_cull_big=do_cull_big,
+                            use_screen_size=use_screen,
+                        )
+                    )
+                    iaux_node = NodeAux(
+                        alive=aux.instances.alive, num_alive=aux.instances.num_alive
+                    )
+                    outi = vref(
+                        keys, params.instances.node, iaux_node,
+                        mu.instances.node, nu.instances.node, densify["instances"],
+                    )
+                    params = params.replace(
+                        instances=params.instances.replace(node=outi.params)
+                    )
+                    mu = mu.replace(instances=mu.instances.replace(node=outi.mu))
+                    nu = nu.replace(instances=nu.instances.replace(node=outi.nu))
+                    new_aux = new_aux.replace(
+                        instances=aux.instances.replace(
+                            alive=outi.aux.alive, num_alive=outi.aux.num_alive
+                        )
+                    )
+                    densify["instances"] = outi.state
+
+                opt_state = (adam_state._replace(mu=mu, nu=nu), sched_state)
+                new_state = TrainState(
+                    params=params, opt_state=opt_state, densify=densify,
+                    step=state.step, key=key,
+                )
+                return new_state, new_aux
+
+            self._refine_fns[flags] = refine
+        return self._refine_fns[flags]
+
+    @functools.cached_property
+    def _reset_fn(self):
+        cc = self.cfg.control
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def reset(state: TrainState):
+            adam_state, sched_state = state.opt_state
+            mu, nu = adam_state.mu, adam_state.nu
+            params = state.params
+            bg, mub, nub = ctrl.reset_opacities(
+                params.background, mu.background, nu.background, cc
+            )
+            params = params.replace(background=bg)
+            mu = mu.replace(background=mub)
+            nu = nu.replace(background=nub)
+            if params.skybox is not None:
+                sk, mus, nus = ctrl.reset_opacities(
+                    params.skybox, mu.skybox, nu.skybox, cc
+                )
+                params = params.replace(skybox=sk)
+                mu = mu.replace(skybox=mus)
+                nu = nu.replace(skybox=nus)
+            if params.instances is not None:
+                ni, mui, nui = ctrl.reset_opacities(
+                    params.instances.node, mu.instances.node, nu.instances.node, cc
+                )
+                params = params.replace(instances=params.instances.replace(node=ni))
+                mu = mu.replace(instances=mu.instances.replace(node=mui))
+                nu = nu.replace(instances=nu.instances.replace(node=nui))
+            return state.replace(
+                params=params, opt_state=(adam_state._replace(mu=mu, nu=nu), sched_state)
+            )
+
+        return reset
+
+    # --------------------------------------------------------------- loop
+
+    def train(self, num_steps: int, log_every: int = 100, callback=None):
+        cc = self.cfg.control
+        history = []
+        for i in range(num_steps):
+            step = int(self.state.step)
+            batch = next(self.data)
+            self.state, metrics = self._step_fn(self.state, self.aux, batch)
+
+            sref = step + 1
+            if (
+                sref > cc.densify_from_iter
+                and sref % cc.refine_every == 0
+            ):
+                do_densify = sref < cc.stop_split_at
+                do_cull_big = sref > cc.refine_every * cc.reset_alpha_every
+                use_screen = sref < cc.stop_screen_size_at
+                if do_densify or cc.continue_cull_post_densification:
+                    fn = self._get_refine_fn((do_densify, do_cull_big, use_screen))
+                    self.state, self.aux = fn(self.state, self.aux)
+                reset_interval = cc.reset_alpha_every * cc.refine_every
+                if sref < cc.stop_split_at and sref % reset_interval == cc.refine_every:
+                    self.state = self._reset_fn(self.state)
+
+            if callback is not None and (step % log_every == 0 or i == num_steps - 1):
+                callback(step, {k: float(v) for k, v in metrics.items()})
+            history.append(metrics)
+        return history

@@ -1,0 +1,204 @@
+"""Data layer tests: scene-dict parsing, undistortion, depth projection,
+point-cloud IO, loaders — against a generated miniature road block."""
+
+import pickle
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mtgs_tpu.data.dataset import (
+    SampleConfig,
+    decode_pseudo_depth,
+    lidar_depth_image,
+    load_sample,
+    optimal_new_K,
+    undistort_image,
+)
+from mtgs_tpu.data.loader import CameraSampler, TraversalBalancedSampler, data_iterator
+from mtgs_tpu.data.nuplan import chamfer_distance, parse_scene
+from mtgs_tpu.utils.pointcloud import (
+    load_pcd,
+    save_pcd_npz,
+    statistical_outlier_removal,
+    voxel_downsample,
+)
+
+W, H = 96, 64
+
+
+@pytest.fixture(scope="module")
+def mini_block(tmp_path_factory):
+    """A tiny on-disk road block in the reference's folder format."""
+    root = tmp_path_factory.mktemp("road_block-test")
+    rng = np.random.default_rng(0)
+    (root / "raw_images").mkdir()
+    (root / "raw_lidars").mkdir()
+
+    from PIL import Image
+
+    K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1.0]])
+    dist = np.array([0.05, -0.02, 0.001, -0.001, 0.0])
+
+    vsd = {}
+    for travel in range(2):
+        frame_infos = []
+        n_frames = 4
+        for f in range(n_frames):
+            ego2global = np.eye(4)
+            ego2global[:3, 3] = [f * 2.0, travel * 1.5, 0.0]
+            img_rel = f"t{travel}_f{f}.jpg"
+            img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(root / "raw_images" / img_rel)
+            lidar_rel = f"t{travel}_f{f}.npz"
+            pts = rng.uniform(-5, 15, (500, 3)).astype(np.float32)
+            save_pcd_npz(root / "raw_lidars" / lidar_rel, pts)
+            frame_infos.append(dict(
+                token=f"tok_{travel}_{f}",
+                frame_idx=f,
+                skipped=False if f != 1 or travel != 0 else "low_velocity",
+                timestamp=1_000_000 + f * 500_000,
+                ego2global=ego2global,
+                lidar2ego=np.eye(4),
+                lidar_path=lidar_rel,
+                cams={
+                    "CAM_F0": dict(
+                        data_path=img_rel,
+                        sensor2ego_rotation=[1.0, 0, 0, 0],
+                        sensor2ego_translation=[1.0, 0.0, 1.5],
+                        cam_intrinsic=K,
+                        distortion=dist,
+                        token=f"cam_{travel}_{f}",
+                        timestamp=1_000_000 + f * 500_000 + 1000,
+                    )
+                },
+                gt_boxes=np.array([[3.0, 0.5, 0.5, 4.0, 2.0, 1.5, 0.1]]),
+                gt_names=["vehicle"],
+                track_tokens=["track_a"],
+            ))
+        vsd[f"block-{travel}"] = dict(
+            video_token=f"block-{travel}",
+            trajectory=np.stack(
+                [np.arange(n_frames) * 2.0, np.full(n_frames, travel * 1.5),
+                 np.zeros(n_frames)], -1),
+            frame_infos=frame_infos,
+        )
+    with open(root / "video_scene_dict.pkl", "wb") as f:
+        pickle.dump(vsd, f)
+
+    # background seed cloud
+    (root / "stacked_point_cloud").mkdir()
+    xyz = rng.uniform(-5, 15, (800, 3)).astype(np.float32)
+    rgb = rng.uniform(0, 255, (800, 3)).astype(np.float32)
+    save_pcd_npz(root / "stacked_point_cloud" / "background.pcd.npz", xyz, rgb)
+    # the parser looks for .pcd; also save as npz path it scans? use npy name
+    np.save(root / "background.npy", np.concatenate([xyz, rgb], -1))
+    return root
+
+
+def test_parse_scene_train_eval(mini_block, monkeypatch):
+    # point the seed-loader at our .npy
+    import mtgs_tpu.data.nuplan as nuplan_mod
+
+    orig = nuplan_mod.load_seed_points
+
+    def fake_seeds(data_root, **kw):
+        arr = np.load(Path(data_root) / "background.npy")
+        return arr[:, :3].astype(np.float32), arr[:, 3:6].astype(np.float32)
+
+    monkeypatch.setattr(nuplan_mod, "load_seed_points", fake_seeds)
+
+    scene = parse_scene(mini_block, cameras=("CAM_F0",), split="train")
+    assert scene.train_travel_ids == [0, 1]
+    # travel 0 has 1 skipped frame: 3 + 4 = 7 frame rows, 1 cam each
+    assert len(scene.records) == 7
+    assert scene.num_frame_rows == 7
+    assert scene.seed_xyz is not None and len(scene.seed_xyz) == 800
+    r = scene.records[0]
+    assert r.c2w.shape == (4, 4)
+    # scene-frame pose: translation = ego + cam offset
+    np.testing.assert_allclose(r.c2w[:3, 3], [1.0, 0.0, 1.5], atol=1e-6)
+    # timestamps normalized
+    assert 0.0 <= r.timestamp <= 1.0
+
+    ev = parse_scene(mini_block, cameras=("CAM_F0",), split="val", eval_2hz=True, load_points=False)
+    # eval_2hz: frames[:-1][::5] + last  => 2 per traversal
+    assert len(ev.records) == 4
+    assert ev.nearest_train_travel_of_eval == {0: 0, 1: 1}
+
+
+def test_chamfer():
+    a = np.zeros((5, 3))
+    b = np.zeros((7, 3))
+    assert chamfer_distance(a, b) == 0.0
+    b2 = b + np.array([3.0, 4.0, 0])
+    assert abs(chamfer_distance(a, b2) - 10.0) < 1e-6
+
+
+def test_undistort_roundtrip_identity():
+    K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1.0]])
+    dist = np.zeros(5)
+    img = np.random.default_rng(1).random((H, W, 3)).astype(np.float32)
+    out, newK, valid = undistort_image(img, K, dist, "keep_focal_length")
+    np.testing.assert_allclose(out, img, atol=1e-5)
+    np.testing.assert_allclose(newK, K, atol=1e-6)
+    assert valid.all()
+
+
+def test_optimal_new_K_no_distortion():
+    K = np.array([[80.0, 0, 48.0], [0, 80.0, 32.0], [0, 0, 1.0]])
+    newK = optimal_new_K(K, np.zeros(5), (W, H))
+    np.testing.assert_allclose(newK, K, rtol=1e-2, atol=0.2)
+
+
+def test_lidar_depth_projection():
+    K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1.0]])
+    pts = np.array([[0.0, 0.0, 5.0], [0.1, 0.1, 3.0]])
+    d = lidar_depth_image(pts, np.eye(4), K, (W, H))
+    # both points project near center; nearest (3.0) wins at its pixel
+    assert d.max() == 5.0 or d.max() == 3.0
+    assert (d > 0).sum() >= 1
+
+
+def test_pseudo_depth_decode():
+    png = np.zeros((4, 4, 3), np.uint8)
+    png[..., 0] = 123
+    png[..., 1] = 2
+    d = decode_pseudo_depth(png)
+    np.testing.assert_allclose(d, (123 + 512) * 0.01)
+
+
+def test_pointcloud_filters():
+    rng = np.random.default_rng(2)
+    xyz = rng.normal(0, 1, (500, 3))
+    xyz[0] = [100, 100, 100]  # outlier
+    keep = statistical_outlier_removal(xyz, k=10, std_ratio=2.0)
+    assert not keep[0] and keep.sum() > 450
+    dx, dr = voxel_downsample(xyz, np.ones_like(xyz), 0.5)
+    assert len(dx) < len(xyz)
+    assert dr.shape == dx.shape
+
+
+def test_samplers():
+    s = CameraSampler(5, seed=0)
+    seen = sorted(next(s) for _ in range(5))
+    assert seen == [0, 1, 2, 3, 4]
+    t = TraversalBalancedSampler(np.array([0, 0, 0, 0, 1]), seed=0)
+    picks = [next(t) for _ in range(200)]
+    # traversal 1 (one image) drawn ~half the time
+    assert 0.3 < np.mean([p == 4 for p in picks]) < 0.7
+
+
+def test_data_iterator(mini_block, monkeypatch):
+    import mtgs_tpu.data.nuplan as nuplan_mod
+
+    monkeypatch.setattr(nuplan_mod, "load_seed_points", lambda *a, **k: (None, None))
+    scene = parse_scene(mini_block, cameras=("CAM_F0",), split="train", load_points=False)
+    cfg = SampleConfig(scale_factor=0.5, load_pseudo_depth=False)
+    it = data_iterator(scene, cfg, strategy="on_demand")
+    b = next(it)
+    assert b.image.shape == (H // 2, W // 2, 3)
+    assert b.mask.shape == (H // 2, W // 2, 1)
+    assert b.lidar_depth.shape == (H // 2, W // 2, 1)
+    assert float(b.lidar_depth.max()) > 0  # some lidar points projected
+    assert b.K[0, 0] < 80.0  # rescaled intrinsics
