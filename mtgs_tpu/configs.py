@@ -1,0 +1,111 @@
+"""Method presets — the reference's experiment configs as factories.
+
+Mirrors `mtgs/config/{MTGS,3DGS,MTGS_deformable,WildGaussians}.py` in
+OpenDriveLab/MTGS: fully-assembled trainer configurations (optimizer
+table, densify control, loss weights, 30001-iteration budget). Use
+`method_config("mtgs")` etc., then override fields as needed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from mtgs_tpu.models.scene_graph import SceneConfig
+from mtgs_tpu.train.control import ControlConfig
+from mtgs_tpu.train.losses import LossConfig
+from mtgs_tpu.train.optim import GroupSpec, OptimConfig, default_groups
+from mtgs_tpu.train.trainer import TrainerConfig
+
+ITERS = 30001
+
+
+def mtgs_config(width: int = 960, height: int = 540, max_steps: int = ITERS) -> TrainerConfig:
+    """The full MTGS method (`mtgs/config/MTGS.py:25-213`)."""
+    return TrainerConfig(
+        width=width,
+        height=height,
+        max_steps=max_steps,
+        rasterize_mode="antialiased",
+        predict_normals=True,
+        control=ControlConfig(
+            densify_from_iter=500,
+            refine_every=100,
+            stop_split_at=15000,
+            reset_alpha_every=30,
+            continue_cull_post_densification=False,
+            cull_alpha_thresh=0.005,
+            cull_scale_thresh=0.5,
+            densify_size_thresh=0.2,
+            densify_grad_thresh=0.001,
+            n_split_samples=2,
+            clone_sample_means=True,
+            stop_screen_size_at=15000,
+            cull_screen_size=150.0,
+            split_screen_size=100.0,
+            sh_degree=3,
+            sh_degree_interval=1000,
+            use_abs_grad=True,
+        ),
+        loss=LossConfig(
+            ssim_lambda=0.2,
+            depth_lambda=0.5,
+            depth_loss_type="InverseL1",
+            depth_source="lidar",
+            ncc_lambda=0.1,
+            normal_lambda=0.1,
+            use_normal_loss=True,
+            use_normal_tv_loss=True,
+            two_d_gaussians=True,
+            oob_lambda=1.0,
+            sharp_shape_reg_lambda=1.0,
+        ),
+        scene=SceneConfig(sh_degree=3, travel_mode="index"),
+    )
+
+
+def gs3d_config(width: int = 960, height: int = 540, max_steps: int = ITERS) -> TrainerConfig:
+    """Single-traversal vanilla 3DGS baseline (`mtgs/config/3DGS.py`):
+    classic rasterization, no depth/normal supervision, mono color."""
+    cfg = mtgs_config(width, height, max_steps)
+    return cfg.replace(
+        rasterize_mode="classic",
+        predict_normals=False,
+        loss=LossConfig(
+            ssim_lambda=0.2,
+            depth_lambda=0.0,
+            ncc_lambda=0.0,
+            use_normal_loss=False,
+            two_d_gaussians=False,
+            sharp_shape_reg_lambda=0.0,
+            oob_lambda=0.0,
+        ),
+    )
+
+
+def mtgs_deformable_config(width: int = 960, height: int = 540, max_steps: int = ITERS) -> TrainerConfig:
+    """MTGS + deformable pedestrian nodes (`mtgs/config/MTGS_deformable.py`:
+    adds the deform_network optimizer group; deformation gated on after
+    step 3000 — flip scene.deform_enabled at that step)."""
+    cfg = mtgs_config(width, height, max_steps)
+    return cfg.replace(scene=cfg.scene.replace(deform_enabled=False))
+
+
+DEFORM_ENABLE_STEP = 3000  # reference use_deformgs_after (deformable_node.py)
+
+
+def optimizer_table(max_steps: int = ITERS) -> OptimConfig:
+    """The per-group optimizer table (`mtgs/config/MTGS.py:121-187`)."""
+    return OptimConfig(groups=default_groups(max_steps))
+
+
+METHODS = {
+    "mtgs": mtgs_config,
+    "3dgs": gs3d_config,
+    "mtgs_deformable": mtgs_deformable_config,
+}
+
+
+def method_config(name: str, **kwargs) -> TrainerConfig:
+    if name not in METHODS:
+        raise KeyError(f"unknown method {name!r}; have {sorted(METHODS)}")
+    return METHODS[name](**kwargs)

@@ -38,20 +38,31 @@ class BinnedIntersections(NamedTuple):
 
     Attributes:
         perm: [N] depth-order permutation of the input gaussians.
+        inv_perm: [N] inverse of perm (sorted index of each input gaussian).
         gidx: [capacity] int32 — for every padded intersection slot, the
             index into the *depth-sorted* gaussian arrays; == N (sentinel)
             for padding slots.
         tile_offsets: [num_tiles] int32 chunk-aligned start of each tile's
             run in `gidx`.
         tile_nchunks: [num_tiles] int32 number of CHUNK-sized chunks.
+        pair_pos: [max_intersections] int32 — padded slot of each pair in
+            ENUMERATION order (grouped by depth-sorted gaussian);
+            == capacity for invalid pairs. Enables scatter-free gradient
+            segment-reduction (cumsum over pair order).
+        pair_offsets: [N] int32 exclusive pair-count prefix (sorted order).
+        pair_counts: [N] int32 pairs per gaussian (sorted order).
         n_intersections: [] int32 true (unpadded, untruncated) pair count —
             if > max_intersections the caller must grow capacity.
     """
 
     perm: jax.Array
+    inv_perm: jax.Array
     gidx: jax.Array
     tile_offsets: jax.Array
     tile_nchunks: jax.Array
+    pair_pos: jax.Array
+    pair_offsets: jax.Array
+    pair_counts: jax.Array
     n_intersections: jax.Array
 
 
@@ -124,9 +135,12 @@ def bin_gaussians(
     tile = jnp.where(pair_ok, tile, num_tiles)  # sentinel tile sorts last
 
     # ---- 3. stable sort by tile id (preserves depth order in-tile) ---
-    tile_sorted, src_sorted = jax.lax.sort((tile, src), num_keys=1, is_stable=True)
+    pair_ids = jnp.arange(I, dtype=jnp.int32)
+    tile_sorted, src_sorted, pair_id_sorted = jax.lax.sort(
+        (tile, src, pair_ids), num_keys=1, is_stable=True
+    )
 
-    # ---- 4. chunk-aligned re-layout ----------------------------------
+    # ---- 4. chunk-aligned re-layout (gather-only — no 4M scatter) ----
     tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_sorted, tile_range, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(tile_sorted, tile_range, side="right").astype(jnp.int32)
@@ -135,21 +149,48 @@ def bin_gaussians(
     tile_offsets = (jnp.cumsum(padded) - padded).astype(jnp.int32)
     tile_nchunks = (padded // CHUNK).astype(jnp.int32)
 
-    rank = jnp.arange(I, dtype=jnp.int32) - jnp.where(
-        tile_sorted < num_tiles, starts[jnp.minimum(tile_sorted, num_tiles - 1)], 0
+    # Each padded slot j pulls its source: its chunk's tile t (small
+    # chunk->tile table via searchsorted), within-tile rank r, sorted-pair
+    # index starts[t] + r. TPU scatters serialize; gathers with monotone
+    # per-tile indices stream — this formulation is scatter-free.
+    n_chunks_cap = cap // CHUNK
+    chunk_tile = (
+        jnp.searchsorted(
+            tile_offsets, jnp.arange(n_chunks_cap, dtype=jnp.int32) * CHUNK,
+            side="right",
+        ).astype(jnp.int32)
+        - 1
     )
-    pos = jnp.where(
+    slot_j = jnp.arange(cap, dtype=jnp.int32)
+    t_j = chunk_tile[slot_j // CHUNK]
+    r_j = slot_j - tile_offsets[t_j]
+    live_j = r_j < tcounts[t_j]
+    src_idx = jnp.minimum(starts[t_j] + r_j, I - 1)
+    gidx = jnp.where(live_j, src_sorted[src_idx], N)  # sentinel = N
+
+    # ---- 5. pair -> padded-slot map (for scatter-free gradient reduce) --
+    # padded slot of SORTED pair s, then invert the tile sort with a second
+    # sort keyed on pair id (sorts are ~10x cheaper than TPU scatters).
+    ts_safe = jnp.minimum(tile_sorted, num_tiles - 1)
+    sorted_idx = jnp.arange(I, dtype=jnp.int32)
+    pos_sorted = jnp.where(
         tile_sorted < num_tiles,
-        tile_offsets[jnp.minimum(tile_sorted, num_tiles - 1)] + rank,
-        cap,  # out of bounds -> dropped by scatter
+        tile_offsets[ts_safe] + (sorted_idx - starts[ts_safe]),
+        cap,
     )
-    gidx = jnp.full((cap,), N, dtype=jnp.int32)  # sentinel = N
-    gidx = gidx.at[pos].set(src_sorted, mode="drop")
+    _, pair_pos = jax.lax.sort((pair_id_sorted, pos_sorted), num_keys=1, is_stable=True)
+
+    # inverse gaussian permutation (input index -> sorted index)
+    _, inv_perm = jax.lax.sort((perm, jnp.arange(N, dtype=jnp.int32)), num_keys=1)
 
     return BinnedIntersections(
         perm=perm,
+        inv_perm=inv_perm,
         gidx=gidx,
         tile_offsets=tile_offsets,
         tile_nchunks=tile_nchunks,
+        pair_pos=pair_pos,
+        pair_offsets=offsets.astype(jnp.int32),
+        pair_counts=counts.astype(jnp.int32),
         n_intersections=total,
     )

@@ -1,0 +1,110 @@
+"""Trajectory / dataset rendering.
+
+Counterpart of `mtgs/tools/render.py` (OpenDriveLab/MTGS): the
+`interpolate` mode upsamples a traversal's camera path to a target frame
+rate with slerp pose interpolation and renders video frames; `dataset`
+renders every split view (optionally side-by-side with ground truth).
+Videos are written as PNG frame folders plus an mp4 when ffmpeg exists.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import subprocess
+from pathlib import Path
+from typing import Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtgs_tpu.core.quat import quat_to_rotmat, rotmat_to_quat, slerp
+from mtgs_tpu.models.scene_graph import SceneAux, SceneParams
+from mtgs_tpu.train.trainer import Batch, TrainerConfig, render_view
+
+
+def interpolate_poses(
+    c2ws: np.ndarray, timestamps: np.ndarray, target_hz: float = 60.0, source_hz: float = 2.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Slerp-upsample a pose trajectory (ref `_get_interpolated_camera_path`,
+    `render.py:261-301`). Returns (poses [M,4,4], times [M])."""
+    n = len(c2ws)
+    factor = max(int(round(target_hz / source_hz)), 1)
+    out_poses, out_ts = [], []
+    quats = np.asarray(rotmat_to_quat(jnp.asarray(c2ws[:, :3, :3])))
+    for i in range(n - 1):
+        for k in range(factor):
+            t = k / factor
+            q = np.asarray(slerp(jnp.asarray(quats[i]), jnp.asarray(quats[i + 1]), jnp.asarray(t)))
+            tr = c2ws[i, :3, 3] * (1 - t) + c2ws[i + 1, :3, 3] * t
+            m = np.eye(4, dtype=np.float32)
+            m[:3, :3] = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+            m[:3, 3] = tr
+            out_poses.append(m)
+            out_ts.append(timestamps[i] * (1 - t) + timestamps[i + 1] * t)
+    out_poses.append(c2ws[-1])
+    out_ts.append(timestamps[-1])
+    return np.stack(out_poses), np.asarray(out_ts, np.float32)
+
+
+def render_trajectory(
+    params: SceneParams,
+    aux: SceneAux,
+    cfg: TrainerConfig,
+    poses: np.ndarray,          # [M, 4, 4] scene-frame c2w
+    timestamps: np.ndarray,     # [M] normalized
+    K: np.ndarray,
+    travel_index: int,
+    out_dir: str | Path,
+    *,
+    frame_rows: Optional[np.ndarray] = None,  # per-pose frame row for rigid gating
+    fps: int = 30,
+    make_video: bool = True,
+) -> List[Path]:
+    """Render a pose path to PNG frames (+ mp4 if ffmpeg available)."""
+    from PIL import Image
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    H, W = cfg.height, cfg.width
+
+    interp_cfg = cfg.replace(scene=cfg.scene.replace(interp_poses=True))
+
+    @jax.jit
+    def render_one(p, a, batch):
+        out = render_view(p, a, interp_cfg, batch, jnp.asarray(10**6), training=False)
+        return out["rgb_appearance"], out["depth"]
+
+    paths = []
+    for i, (pose, ts) in enumerate(zip(poses, timestamps)):
+        batch = Batch(
+            image=jnp.zeros((H, W, 3), jnp.float32),
+            mask=jnp.ones((H, W, 1), jnp.float32),
+            c2w=jnp.asarray(pose, jnp.float32),
+            K=jnp.asarray(K, jnp.float32),
+            cam_idx=jnp.asarray(0, jnp.int32),
+            image_idx=jnp.asarray(0, jnp.int32),
+            travel_index=jnp.asarray(travel_index, jnp.int32),
+            frame_idx=jnp.asarray(
+                int(frame_rows[i]) if frame_rows is not None else 0, jnp.int32
+            ),
+            timestamp=jnp.asarray(float(ts), jnp.float32),
+            lidar_depth=jnp.zeros((H, W, 1), jnp.float32),
+            pseudo_depth=jnp.zeros((H, W, 1), jnp.float32),
+        )
+        rgb, _ = render_one(params, aux, batch)
+        p = out_dir / f"frame_{i:05d}.png"
+        Image.fromarray(np.asarray(jnp.clip(rgb, 0, 1) * 255).astype(np.uint8)).save(p)
+        paths.append(p)
+
+    if make_video and paths:
+        try:
+            subprocess.run(
+                ["ffmpeg", "-y", "-loglevel", "error", "-framerate", str(fps),
+                 "-i", str(out_dir / "frame_%05d.png"),
+                 "-pix_fmt", "yuv420p", str(out_dir / "render.mp4")],
+                check=True,
+            )
+        except (FileNotFoundError, subprocess.CalledProcessError):
+            pass  # frames remain
+    return paths

