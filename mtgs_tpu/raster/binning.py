@@ -116,7 +116,9 @@ def bin_gaussians(
     tmax_x = jnp.clip(jnp.ceil((m[:, 0] + r) / tile_size), 0, tiles_x).astype(jnp.int32)
     tmin_y = jnp.clip(jnp.floor((m[:, 1] - r) / tile_size), 0, tiles_y).astype(jnp.int32)
     tmax_y = jnp.clip(jnp.ceil((m[:, 1] + r) / tile_size), 0, tiles_y).astype(jnp.int32)
-    span_x = jnp.maximum(tmax_x - tmin_x, 0)
+    # span_x capped at 255 so it bit-packs below (a gaussian spanning
+    # >255 tile columns would cover a >8000px-wide footprint)
+    span_x = jnp.clip(tmax_x - tmin_x, 0, 255)
     span_y = jnp.maximum(tmax_y - tmin_y, 0)
     counts = jnp.where(valid_s, span_x * span_y, 0).astype(jnp.int32)
     offsets = jnp.cumsum(counts) - counts  # exclusive
@@ -126,12 +128,20 @@ def bin_gaussians(
         jnp.arange(N, dtype=jnp.int32), counts, total_repeat_length=I
     )  # sorted-gaussian index per pair slot
     slot = jnp.arange(I, dtype=jnp.int32)
-    local = slot - offsets[src]
-    sx = jnp.maximum(span_x[src], 1)
+    # TPU random gathers dominate this pipeline — fuse the per-gaussian
+    # lookups into TWO gathers: the offset table, and one bit-packed
+    # (tmin_x | tmin_y | span_x) word. `jnp.repeat` guarantees
+    # local in [0, counts) for every slot < total, so no count/valid
+    # lookups are needed.
+    packed = tmin_x | (tmin_y << 11) | (span_x << 22)
+    off_s = offsets[src]
+    pk = packed[src]
+    local = slot - off_s
+    sx = jnp.maximum(pk >> 22, 1)
     lx = local % sx
     ly = local // sx
-    tile = (tmin_y[src] + ly) * tiles_x + (tmin_x[src] + lx)
-    pair_ok = (slot < total) & (local >= 0) & (local < counts[src])
+    tile = (((pk >> 11) & 0x7FF) + ly) * tiles_x + ((pk & 0x7FF) + lx)
+    pair_ok = slot < total
     tile = jnp.where(pair_ok, tile, num_tiles)  # sentinel tile sorts last
 
     # ---- 3. stable sort by tile id (preserves depth order in-tile) ---

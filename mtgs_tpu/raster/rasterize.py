@@ -145,10 +145,15 @@ def _gather_intersections(geom_n, col_n, binned, sink):
 
 def _gather_fwd(geom_n, col_n, binned, sink):
     n = geom_n.shape[0]
-    geom_pad = jnp.concatenate([geom_n[binned.perm], jnp.zeros((1, NUM_GEOM), geom_n.dtype)])
-    col_pad = jnp.concatenate([col_n[binned.perm], jnp.zeros((1, NUM_CH), col_n.dtype)])
-    geom_t = geom_pad[binned.gidx].T
-    col_t = col_pad[binned.gidx].T
+    # ONE 16-wide gather table (geom|col) — random-index gathers are the
+    # TPU bottleneck; one pass over the indices instead of two.
+    table = jnp.concatenate([geom_n, col_n], axis=-1)
+    table_pad = jnp.concatenate(
+        [table[binned.perm], jnp.zeros((1, NUM_GEOM + NUM_CH), table.dtype)]
+    )
+    rows = table_pad[binned.gidx]
+    geom_t = rows[:, :NUM_GEOM].T
+    col_t = rows[:, NUM_GEOM:].T
     return (geom_t, col_t), (binned, n)
 
 
@@ -167,17 +172,17 @@ def _gather_bwd(res, cot):
     binned, n = res
     g_geom_t, g_col_t = cot
     cap = g_geom_t.shape[1]
-    # pad one zero column; invalid pairs point at it
-    gg_rows = jnp.concatenate(
-        [g_geom_t.T, jnp.zeros((1, NUM_GEOM), g_geom_t.dtype)]
-    )[jnp.minimum(binned.pair_pos, cap)]  # [I, 8] pair order
-    gc_rows = jnp.concatenate(
-        [g_col_t.T, jnp.zeros((1, NUM_CH), g_col_t.dtype)]
-    )[jnp.minimum(binned.pair_pos, cap)]
+    # one combined 18-wide pair gather + one cumsum: [geom8 | col8 | |g_mxy|2]
+    g_all = jnp.concatenate([g_geom_t, g_col_t], axis=0).T  # [cap, 16]
+    g_all = jnp.concatenate([g_all, jnp.abs(g_all[:, :2])], axis=-1)  # +absgrad
+    rows = jnp.concatenate(
+        [g_all, jnp.zeros((1, g_all.shape[1]), g_all.dtype)]
+    )[jnp.minimum(binned.pair_pos, cap)]  # [I, 18] pair order
 
-    g_geom_n = _seg_reduce_pairs(gg_rows, binned, n)
-    g_col_n = _seg_reduce_pairs(gc_rows, binned, n)
-    absgrad = _seg_reduce_pairs(jnp.abs(gg_rows[:, :2]), binned, n)
+    seg = _seg_reduce_pairs(rows, binned, n)  # [N, 18]
+    g_geom_n = seg[:, :NUM_GEOM]
+    g_col_n = seg[:, NUM_GEOM:NUM_GEOM + NUM_CH]
+    absgrad = seg[:, NUM_GEOM + NUM_CH:]
 
     return (g_geom_n, g_col_n, jax.tree.map(_f0, binned), absgrad)
 
