@@ -289,6 +289,7 @@ def build_scene_model(scene: SyntheticScene, *, with_instances: bool = True,
             travel_of_frame=jnp.repeat(
                 jnp.arange(scene.n_travels, dtype=jnp.int32), scene.n_frames
             ),
+            sizes=jnp.asarray(scene.instance_size)[None],
         )
         inst = (params, iaux)
 

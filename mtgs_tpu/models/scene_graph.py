@@ -58,6 +58,7 @@ class InstanceAux:
     is_static: jax.Array                # [I] float 0/1 (single-pose mode)
     frame_timestamps: jax.Array         # [F] normalized timestamps
     travel_of_frame: jax.Array          # [F] int32 traversal id per frame row
+    sizes: jax.Array                    # [I, 3] box dimensions (l, w, h)
 
 
 @struct.dataclass

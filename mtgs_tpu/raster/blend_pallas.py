@@ -292,3 +292,37 @@ def blend_backward_pallas(
         g_rgb,
         g_t[:, None, :],
     )
+
+
+def _transpose_kernel(in_ref, out_ref):
+    out_ref[:] = in_ref[:].T
+
+
+def rows_to_attr_major(rows: jax.Array, blk: int = 512) -> jax.Array:
+    """[cap, W] -> [W, cap] transpose as a tiled Pallas kernel.
+
+    XLA's transpose of a big gather output runs ~100x off memory
+    bandwidth on TPU; a blocked VMEM transpose is ~free.
+    """
+    cap, w = rows.shape
+    assert cap % blk == 0, (cap, blk)
+    return pl.pallas_call(
+        _transpose_kernel,
+        grid=(cap // blk,),
+        in_specs=[pl.BlockSpec((blk, w), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((w, blk), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((w, cap), rows.dtype),
+    )(rows)
+
+
+def attr_major_to_rows(attrs: jax.Array, blk: int = 512) -> jax.Array:
+    """[W, cap] -> [cap, W] blocked Pallas transpose (see rows_to_attr_major)."""
+    w, cap = attrs.shape
+    assert cap % blk == 0, (cap, blk)
+    return pl.pallas_call(
+        _transpose_kernel,
+        grid=(cap // blk,),
+        in_specs=[pl.BlockSpec((w, blk), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((blk, w), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((cap, w), attrs.dtype),
+    )(attrs)

@@ -152,19 +152,30 @@ def _gather_fwd(geom_n, col_n, binned, sink):
         [table[binned.perm], jnp.zeros((1, NUM_GEOM + NUM_CH), table.dtype)]
     )
     rows = table_pad[binned.gidx]
-    geom_t = rows[:, :NUM_GEOM].T
-    col_t = rows[:, NUM_GEOM:].T
+    if jax.default_backend() == "tpu":
+        from mtgs_tpu.raster.blend_pallas import rows_to_attr_major
+
+        both = rows_to_attr_major(rows)  # [16, cap] via Pallas (XLA's own
+        # transpose of gather outputs costs ~40ms at this size)
+    else:
+        both = rows.T
+    geom_t = both[:NUM_GEOM]
+    col_t = both[NUM_GEOM:]
     return (geom_t, col_t), (binned, n)
 
 
 def _seg_reduce_pairs(g_rows, binned, n):
-    """[I, D] pair-ordered grads -> [N, D] per-gaussian (input order)."""
+    """[I, D] pair-ordered grads -> [N, D] per-gaussian (input order).
+
+    pair_offsets is an exclusive prefix sum, so segment ends are the next
+    gaussian's start — ONE boundary gather (N+1 rows) instead of two."""
     I = g_rows.shape[0]
     cs = jnp.cumsum(g_rows, axis=0)
     cs0 = jnp.concatenate([jnp.zeros((1, g_rows.shape[1]), g_rows.dtype), cs])
-    starts = jnp.minimum(binned.pair_offsets, I)
-    ends = jnp.minimum(binned.pair_offsets + binned.pair_counts, I)
-    seg_sorted = cs0[ends] - cs0[starts]
+    last = binned.pair_offsets[-1:] + binned.pair_counts[-1:]
+    bounds = jnp.minimum(jnp.concatenate([binned.pair_offsets, last]), I)
+    G = cs0[bounds]
+    seg_sorted = G[1:] - G[:-1]
     return seg_sorted[binned.inv_perm]
 
 
@@ -173,7 +184,13 @@ def _gather_bwd(res, cot):
     g_geom_t, g_col_t = cot
     cap = g_geom_t.shape[1]
     # one combined 18-wide pair gather + one cumsum: [geom8 | col8 | |g_mxy|2]
-    g_all = jnp.concatenate([g_geom_t, g_col_t], axis=0).T  # [cap, 16]
+    stacked = jnp.concatenate([g_geom_t, g_col_t], axis=0)  # [16, cap]
+    if jax.default_backend() == "tpu":
+        from mtgs_tpu.raster.blend_pallas import attr_major_to_rows
+
+        g_all = attr_major_to_rows(stacked)
+    else:
+        g_all = stacked.T
     g_all = jnp.concatenate([g_all, jnp.abs(g_all[:, :2])], axis=-1)  # +absgrad
     rows = jnp.concatenate(
         [g_all, jnp.zeros((1, g_all.shape[1]), g_all.dtype)]

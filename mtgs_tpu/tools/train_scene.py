@@ -47,7 +47,7 @@ def build_model_from_parsed(scene, method_cfg, sample_cfg):
     if rigid:
         F = scene.num_frame_rows
         cap = max(node_capacity(max(len(i.points) for i in rigid), granule=1024), 1024)
-        nodes, quats, trans, present, static, alive, num_alive = [], [], [], [], [], [], []
+        nodes, quats, trans, present, static, alive, num_alive, sizes = [], [], [], [], [], [], [], []
         for info in rigid:
             node, naux = init_node_from_points(info.points, info.colors, capacity=cap)
             nodes.append(node)
@@ -67,6 +67,7 @@ def build_model_from_parsed(scene, method_cfg, sample_cfg):
             static.append(float(info.is_static))
             alive.append(naux.alive)
             num_alive.append(naux.num_alive)
+            sizes.append(info.size[:3])
         params = InstanceParams(
             node=jax.tree.map(lambda *xs: jnp.stack(xs), *nodes),
             quats=jnp.asarray(np.stack(quats)),
@@ -79,6 +80,7 @@ def build_model_from_parsed(scene, method_cfg, sample_cfg):
             is_static=jnp.asarray(np.asarray(static, np.float32)),
             frame_timestamps=jnp.asarray(scene.frame_timestamps),
             travel_of_frame=jnp.asarray(scene.travel_of_frame),
+            sizes=jnp.asarray(np.stack(sizes), jnp.float32),
         )
         inst = (params, iaux)
 

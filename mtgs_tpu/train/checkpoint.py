@@ -27,6 +27,22 @@ import numpy as np
 from mtgs_tpu.models.gaussians import GaussianNodeParams, NodeAux, node_capacity
 
 
+def _pack_empty(tree):
+    """Orbax refuses zero-size arrays (e.g. a vanilla node's [cap, 0, 3]
+    adapters); swap them for 1-byte placeholders before save."""
+    return jax.tree.map(
+        lambda a: np.zeros((1,), np.int8) if getattr(a, "size", 1) == 0 else a, tree
+    )
+
+
+def _unpack_empty(tree, template):
+    return jax.tree.map(
+        lambda t, a: jnp.zeros(t.shape, t.dtype) if getattr(t, "size", 1) == 0 else a,
+        template,
+        tree,
+    )
+
+
 def save_checkpoint(path: str | Path, state, aux, *, keep_optimizer: bool = True):
     """Save TrainState + SceneAux with orbax (latest-only handled by caller)."""
     import orbax.checkpoint as ocp
@@ -41,7 +57,7 @@ def save_checkpoint(path: str | Path, state, aux, *, keep_optimizer: bool = True
     }
     if keep_optimizer:
         payload["opt_state"] = state.opt_state
-    ckptr.save(path, payload, force=True)
+    ckptr.save(path, _pack_empty(payload), force=True)
     ckptr.wait_until_finished()
 
 
@@ -51,7 +67,8 @@ def load_checkpoint(path: str | Path, template: Dict[str, Any]) -> Dict[str, Any
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(Path(path).absolute(), template)
+    out = ckptr.restore(Path(path).absolute(), _pack_empty(template))
+    return _unpack_empty(out, template)
 
 
 # ------------------------------------------------------------ torch import

@@ -192,6 +192,14 @@ def _scene_losses(
         losses["sharp_shape"] = lcfg.sharp_shape_reg_lambda * loss_lib.sharp_shape_reg(
             g["scales"], alive, lcfg.sharp_shape_max_ratio, lcfg.two_d_gaussians
         )
+    if lcfg.oob_lambda > 0 and params.instances is not None:
+        losses["oob"] = lcfg.oob_lambda * loss_lib.oob_loss(
+            params.instances.node.means,
+            params.instances.node.opacities,
+            aux.instances.alive,
+            aux.instances.sizes,
+            lcfg.oob_tolerance,
+        )
     if lcfg.adapter_lambda > 0:
         total = jnp.abs(params.background.features_adapters).sum()
         if params.skybox is not None:

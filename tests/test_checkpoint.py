@@ -1,0 +1,91 @@
+"""Checkpointing: orbax round-trip + reference torch-checkpoint import."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_torch_checkpoint_import(tmp_path):
+    torch = pytest.importorskip("torch")
+    from mtgs_tpu.train.checkpoint import import_torch_checkpoint, node_from_torch_params
+
+    n, T, K = 100, 2, 16
+    rng = np.random.default_rng(0)
+    state = {
+        "_model.gaussian_models.background.gauss_params.means": torch.tensor(
+            rng.normal(size=(n, 3)).astype(np.float32)),
+        "_model.gaussian_models.background.gauss_params.scales": torch.tensor(
+            rng.normal(size=(n, 3)).astype(np.float32)),
+        "_model.gaussian_models.background.gauss_params.quats": torch.tensor(
+            rng.normal(size=(n, 4)).astype(np.float32)),
+        "_model.gaussian_models.background.gauss_params.features_dc": torch.tensor(
+            rng.normal(size=(n, 3)).astype(np.float32)),
+        "_model.gaussian_models.background.gauss_params.features_rest": torch.tensor(
+            rng.normal(size=(n, T, K - 1, 3)).astype(np.float32)),
+        "_model.gaussian_models.background.gauss_params.opacities": torch.tensor(
+            rng.normal(size=(n, 1)).astype(np.float32)),
+        "_model.gaussian_models.background.gauss_params.features_adapters": torch.tensor(
+            rng.normal(size=(n, T, 3)).astype(np.float32)),
+        "_model.gaussian_models.vehicle-abc.gauss_params.means": torch.tensor(
+            rng.normal(size=(20, 3)).astype(np.float32)),
+        "_model.gaussian_models.vehicle-abc.instance_quats": torch.tensor(
+            rng.normal(size=(5, 4)).astype(np.float32)),
+        "_model.gaussian_models.vehicle-abc.instance_trans": torch.tensor(
+            rng.normal(size=(5, 3)).astype(np.float32)),
+        "_model.camera_optimizer.pose_adjustment": torch.tensor(
+            rng.normal(size=(8, 6)).astype(np.float32)),
+    }
+    path = tmp_path / "step-000010000.ckpt"
+    torch.save({"pipeline": state, "step": 10000}, path)
+
+    out = import_torch_checkpoint(path)
+    assert out["step"] == 10000
+    assert set(out["nodes"]) == {"background", "vehicle-abc"}
+    bg = out["nodes"]["background"]
+    assert bg["features_adapters"].shape == (n, T, 3)
+    assert out["nodes"]["vehicle-abc"]["instance_quats"].shape == (5, 4)
+    assert out["camera_opt"].shape == (8, 6)
+
+    params, aux = node_from_torch_params(bg)
+    assert params.capacity >= n
+    assert int(aux.num_alive) == n
+    assert params.multicolor and params.multi_feature_rest
+    np.testing.assert_allclose(np.asarray(params.means[:n]), bg["means"])
+
+
+def test_orbax_roundtrip(tmp_path):
+    from mtgs_tpu.data.synthetic import build_scene_model, make_synthetic_scene
+    from mtgs_tpu.train import control as ctrl
+    from mtgs_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from mtgs_tpu.train.trainer import TrainState
+
+    scene = make_synthetic_scene(seed=0, width=32, height=32, n_travels=2,
+                                 n_frames=2, n_bg=100, n_instance=30)
+    params, aux = build_scene_model(scene)
+    state = TrainState(
+        params=params,
+        opt_state=None,
+        densify={"background": ctrl.DensifyState.zeros(params.background.capacity)},
+        step=jnp.asarray(7, jnp.int32),
+        key=jax.random.key(0),
+    )
+    save_checkpoint(tmp_path / "ck", state, aux, keep_optimizer=False)
+
+    template = {
+        "params": jax.tree.map(np.zeros_like, params),
+        "densify": jax.tree.map(np.zeros_like, state.densify),
+        "step": np.zeros((), np.int32),
+        "aux": jax.tree.map(np.zeros_like, aux),
+    }
+    restored = load_checkpoint(tmp_path / "ck", template)
+    assert int(restored["step"]) == 7
+    np.testing.assert_allclose(
+        np.asarray(restored["params"].background.means),
+        np.asarray(params.background.means),
+    )
+    np.testing.assert_allclose(
+        np.asarray(restored["aux"].background.alive),
+        np.asarray(aux.background.alive),
+    )
