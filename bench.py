@@ -27,7 +27,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 BASELINE_RAYS_PER_S = 2.0e6
 WIDTH, HEIGHT = 960, 540
 N_GAUSS = 1_000_000
-MAX_ISECT = 5 << 19  # ~2.6M: sized to the ~1.8M actual + margin (gathers scale with capacity)
+MAX_ISECT = 2 << 20  # sized to the ~1.83M actual + margin (index ops scale with capacity)
 
 
 def make_scene(seed=0):

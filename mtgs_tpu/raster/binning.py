@@ -125,18 +125,22 @@ def bin_gaussians(
     offsets = jnp.cumsum(counts) - counts  # exclusive
     total = offsets[-1] + counts[-1] if N > 0 else jnp.zeros((), jnp.int32)
 
-    src = jnp.repeat(
-        jnp.arange(N, dtype=jnp.int32), counts, total_repeat_length=I
-    )  # sorted-gaussian index per pair slot
     slot = jnp.arange(I, dtype=jnp.int32)
+    # Per-pair segment id/offset via scatter+cumsum/cummax instead of
+    # jnp.repeat (which lowers to an I-from-N random gather — the
+    # dominant cost class on TPU). `offsets` is non-decreasing, so a
+    # scatter-max at each segment start followed by a running max
+    # reconstructs the step function; the +1-indicator cumsum gives the
+    # segment index, skipping empty gaussians via duplicate increments.
+    zeros_i = jnp.zeros((I,), jnp.int32)
+    safe_off = jnp.minimum(offsets, I)  # == I drops (truncated tail)
+    ind = zeros_i.at[safe_off].add(1, mode="drop")
+    src = jnp.cumsum(ind) - 1
+    off_s = jax.lax.cummax(zeros_i.at[safe_off].max(offsets, mode="drop"))
     # One bit-packed (tmin_x | tmin_y | span_x) word per gaussian;
-    # `jnp.repeat` guarantees local in [0, counts) for every slot < total,
-    # so no count/valid lookups are needed.
+    # construction guarantees local in [0, counts) for every slot < total.
     packed = tmin_x | (tmin_y << 11) | (span_x << 22)
-    # per-pair lookups as repeats (scatter(N)+cummax(I)) — cheaper than
-    # 2.6M random gathers on TPU
-    off_s = jnp.repeat(offsets, counts, total_repeat_length=I)
-    pk = jnp.repeat(packed, counts, total_repeat_length=I)
+    pk = packed[jnp.clip(src, 0, N - 1)]
     local = slot - off_s
     sx = jnp.maximum(pk >> 22, 1)
     lx = local % sx
@@ -188,9 +192,13 @@ def bin_gaussians(
     # padded slot of SORTED pair s, then invert the tile sort with a second
     # sort keyed on pair id (sorts are ~10x cheaper than TPU scatters).
     sorted_idx = jnp.arange(I, dtype=jnp.int32)
-    # tile_offsets/starts per sorted pair as repeats over the (few) tiles
-    off_rep = jnp.repeat(tile_offsets, tcounts, total_repeat_length=I)
-    start_rep = jnp.repeat(starts, tcounts, total_repeat_length=I)
+    # tile_offsets/starts per sorted pair via scatter+cummax over tile
+    # starts (both sequences are non-decreasing; `starts` are the exact
+    # segment boundaries in sorted-pair space)
+    zi = jnp.zeros((I,), jnp.int32)
+    safe_starts = jnp.minimum(starts, I)
+    off_rep = jax.lax.cummax(zi.at[safe_starts].max(tile_offsets, mode="drop"))
+    start_rep = jax.lax.cummax(zi.at[safe_starts].max(starts, mode="drop"))
     pos_sorted = jnp.where(
         tile_sorted < num_tiles,
         off_rep + (sorted_idx - start_rep),
