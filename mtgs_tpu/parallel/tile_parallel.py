@@ -66,14 +66,16 @@ def rasterize_tile_sharded(
     T = binned.tile_offsets.shape[0]
     T_pad = ((T + n_dev - 1) // n_dev) * n_dev
     offs = jnp.pad(binned.tile_offsets, (0, T_pad - T))
+    hds = jnp.pad(binned.tile_heads, (0, T_pad - T))
+    cnts = jnp.pad(binned.tile_counts, (0, T_pad - T))
     nchk = jnp.pad(binned.tile_nchunks, (0, T_pad - T))
 
     backend = config.resolve_backend()
     blend = blend_forward_pallas if backend == "pallas" else blend_forward_xla
 
-    def shard_fn(offs_l, nchk_l, geom_l, col_l):
+    def shard_fn(offs_l, hds_l, cnts_l, nchk_l, geom_l, col_l):
         return blend(
-            geom_l, col_l, offs_l, nchk_l,
+            geom_l, col_l, offs_l, hds_l, cnts_l, nchk_l,
             tile_size=config.tile_size, tiles_x=config.tiles_x,
             **({"interpret": config.interpret} if backend == "pallas" else {}),
         )
@@ -81,10 +83,10 @@ def rasterize_tile_sharded(
     rgb_tiles, t_final = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(axis), P(axis)),
         check_vma=False,
-    )(offs, nchk, geom_t, col_t)
+    )(offs, hds, cnts, nchk, geom_t, col_t)
 
     ts = config.tile_size
     img = rgb_tiles[:T].reshape(config.tiles_y, config.tiles_x, NUM_CH, ts, ts)

@@ -5,10 +5,12 @@ The performance path of the rasterizer (XLA-driver twin:
 all tiles (TPU grid = sequential + pipelined on the TensorCore); each
 tile program:
 
-  * reads its chunk-aligned intersection range boundaries from
-    scalar-prefetched SMEM (`PrefetchScalarGridSpec`),
-  * DMAs (8, CHUNK) geometry/color slabs HBM->VMEM (the binning stage
-    guarantees 128-aligned, contiguous, per-tile-disjoint ranges),
+  * reads its intersection range (aligned window start, head, count,
+    nchunks) from scalar-prefetched SMEM (`PrefetchScalarGridSpec`),
+  * DMAs (8, CHUNK) geometry/color slabs HBM->VMEM from 128-ALIGNED
+    windows covering the tile's unaligned run [start, start+count) in
+    sorted-pair order; lanes outside [head, head+count) belong to
+    adjacent tiles and are masked to no-ops,
   * runs the chunk math (MXU matmuls for sigma/cumsum/accumulation),
   * early-exits the chunk loop once every pixel's transmittance is
     saturated (the TPU analog of the CUDA warp `done` break),
@@ -16,9 +18,12 @@ tile program:
 
 The backward kernel replays chunks front-to-back (no stored
 per-intersection state; suffix terms recovered from the forward outputs)
-and DMAs per-intersection gradients back to HBM — tiles own disjoint
-ranges, so no atomics are needed anywhere; the final per-gaussian
-reduction is a segment-sum outside the kernel.
+and accumulates per-intersection gradients into HBM via
+read-modify-write (boundary windows are shared between adjacent tiles
+with complementary masks; the sequential ascending grid makes the
+read-add-write race-free — no atomics). Early-exited and slack ranges
+keep their zero-init (aliased zero inputs). The final per-gaussian
+reduction is a sort+segment-sum outside the kernel.
 
 Multi-chip: shard tiles across devices at the JAX level (shard_map over
 the tile axis); each device runs this kernel on its tile subset.
@@ -46,8 +51,10 @@ def _origin(tile_id, tiles_x: int, tile_size: int):
 
 def _fwd_kernel(
     # scalar prefetch
-    off_ref,
-    nch_ref,
+    off_ref,    # 128-aligned window starts
+    head_ref,   # first live lane within the first window
+    cnt_ref,    # live pairs per tile
+    nch_ref,    # aligned windows per tile
     # inputs (HBM)
     geom_hbm,
     col_hbm,
@@ -67,6 +74,8 @@ def _fwd_kernel(
 ):
     t = pl.program_id(0)
     offset = off_ref[t]
+    head = head_ref[t]
+    count = cnt_ref[t]
     nch = nch_ref[t]
     ox, oy = _origin(t, tiles_x, tile_size)
     F = f_ref[:]
@@ -90,7 +99,10 @@ def _fwd_kernel(
         cp_c.start()
         cp_g.wait()
         cp_c.wait()
-        carry = cm.forward_chunk(carry, geom_s[:], col_s[:], ox, oy, F, LT)
+        carry = cm.forward_chunk(
+            carry, geom_s[:], col_s[:], ox, oy, F, LT,
+            bounds=(head - k * CHUNK, head + count - k * CHUNK),
+        )
         return k + 1, carry
 
     init = (jnp.zeros((), jnp.int32), cm.init_carry(tile_size))
@@ -103,6 +115,8 @@ def blend_forward_pallas(
     geom_t: jax.Array,
     col_t: jax.Array,
     tile_offsets: jax.Array,
+    tile_heads: jax.Array,
+    tile_counts: jax.Array,
     tile_nchunks: jax.Array,
     *,
     tile_size: int,
@@ -113,7 +127,7 @@ def blend_forward_pallas(
     T = tile_offsets.shape[0]
     P = tile_size * tile_size
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -139,16 +153,21 @@ def blend_forward_pallas(
             jax.ShapeDtypeStruct((T, NUM_CH, P), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
         interpret=interpret,
-    )(tile_offsets, tile_nchunks, geom_t, col_t,
+    )(tile_offsets, tile_heads, tile_counts, tile_nchunks, geom_t, col_t,
       cm.pixel_features(tile_size), cm.tri_inclusive(CHUNK))
     return rgb, tfin[:, 0, :]
 
 
 
 def _bwd_kernel(
-    off_ref,
-    nch_ref,
+    off_ref,    # 128-aligned window starts
+    head_ref,   # first live lane within the first window
+    cnt_ref,    # live pairs per tile
+    nch_ref,    # aligned windows per tile
     # inputs
     geom_hbm,
     col_hbm,
@@ -158,6 +177,8 @@ def _bwd_kernel(
     tfin_ref,    # [1, P]
     grgb_ref,    # [1, 8, P]
     gt_ref,      # [1, P]
+    zg_geom_hbm,  # zero-filled [8, cap], aliased to g_geom_hbm
+    zg_col_hbm,   # zero-filled [8, cap], aliased to g_col_hbm
     # outputs (HBM)
     g_geom_hbm,
     g_col_hbm,
@@ -166,6 +187,8 @@ def _bwd_kernel(
     col_s,
     gg_s,
     gc_s,
+    ggp_s,
+    gcp_s,
     sems,
     wsems,
     *,
@@ -174,6 +197,8 @@ def _bwd_kernel(
 ):
     t = pl.program_id(0)
     offset = off_ref[t]
+    head = head_ref[t]
+    count = cnt_ref[t]
     nch = nch_ref[t]
     ox, oy = _origin(t, tiles_x, tile_size)
     F = f_ref[:]
@@ -185,7 +210,16 @@ def _bwd_kernel(
     tf = tfin_ref[0].reshape(P, 1)
     total_dot = jnp.sum(grgb * rgb_ref[0], axis=0).reshape(P, 1)
 
-    def body(k, carry):
+    def cond(state):
+        # Early exit mirroring the forward: once every pixel's
+        # transmittance saturates, all later gaussians have w=0 and
+        # mask=0, hence exactly-zero gradients — which the zero-filled
+        # (aliased) output buffers already hold.
+        k, carry = state
+        return jnp.logical_and(k < nch, jnp.max(carry.log_t_all) > LOG_T_EPS)
+
+    def body(state):
+        k, carry = state
         idx = pl.multiple_of(offset + k * CHUNK, CHUNK)
         cp_g = pltpu.make_async_copy(
             geom_hbm.at[:, pl.ds(idx, CHUNK)], geom_s, sems.at[0]
@@ -195,13 +229,35 @@ def _bwd_kernel(
         )
         cp_g.start()
         cp_c.start()
+        # Only a tile's FIRST window can be shared with earlier tiles
+        # (window k>=1 starts at base + k*128 > previous tile's end), so
+        # only k == 0 needs read-modify-write accumulation; interior
+        # windows are untouched zeros and take a plain overwrite. The
+        # sequential ascending grid makes the read-add-write race-free.
+        first = k == 0
+
+        @pl.when(first)
+        def _():
+            rd_g = pltpu.make_async_copy(
+                g_geom_hbm.at[:, pl.ds(idx, CHUNK)], ggp_s, sems.at[2]
+            )
+            rd_c = pltpu.make_async_copy(
+                g_col_hbm.at[:, pl.ds(idx, CHUNK)], gcp_s, sems.at[3]
+            )
+            rd_g.start()
+            rd_c.start()
+            rd_g.wait()
+            rd_c.wait()
+
         cp_g.wait()
         cp_c.wait()
         g_geom, g_col, carry = cm.backward_chunk(
-            carry, geom_s[:], col_s[:], ox, oy, grgb, gt, tf, total_dot, F, LT
+            carry, geom_s[:], col_s[:], ox, oy, grgb, gt, tf, total_dot, F, LT,
+            bounds=(head - k * CHUNK, head + count - k * CHUNK),
         )
-        gg_s[:] = g_geom
-        gc_s[:] = g_col
+        firstf = first.astype(g_geom.dtype)
+        gg_s[:] = g_geom + firstf * ggp_s[:]
+        gc_s[:] = g_col + firstf * gcp_s[:]
         wr_g = pltpu.make_async_copy(
             gg_s, g_geom_hbm.at[:, pl.ds(idx, CHUNK)], wsems.at[0]
         )
@@ -212,19 +268,24 @@ def _bwd_kernel(
         wr_c.start()
         wr_g.wait()
         wr_c.wait()
-        return carry
+        return k + 1, carry
 
-    init = cm.BwdCarry(
-        log_t_all=jnp.zeros((P, 1), jnp.float32),
-        wg_cum=jnp.zeros((P, 1), jnp.float32),
+    init = (
+        jnp.zeros((), jnp.int32),
+        cm.BwdCarry(
+            log_t_all=jnp.zeros((P, 1), jnp.float32),
+            wg_cum=jnp.zeros((P, 1), jnp.float32),
+        ),
     )
-    jax.lax.fori_loop(0, nch, body, init)
+    jax.lax.while_loop(cond, body, init)
 
 
 def blend_backward_pallas(
     geom_t: jax.Array,
     col_t: jax.Array,
     tile_offsets: jax.Array,
+    tile_heads: jax.Array,
+    tile_counts: jax.Array,
     tile_nchunks: jax.Array,
     rgb_tiles: jax.Array,
     t_final: jax.Array,
@@ -237,15 +298,14 @@ def blend_backward_pallas(
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns per-intersection (g_geom_t [8, cap], g_col_t [8, cap]).
 
-    Slack regions of the output buffers (capacity not covered by any
-    tile's chunks) are UNINITIALIZED; callers must mask by sentinel
-    gaussian index before reducing.
+    Output buffers are zero-initialized (aliased zero inputs), so slack
+    capacity and early-exited chunk ranges hold exact zeros.
     """
     T = tile_offsets.shape[0]
     P = tile_size * tile_size
     cap = geom_t.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -256,6 +316,8 @@ def blend_backward_pallas(
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, NUM_CH, P), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -266,7 +328,9 @@ def blend_backward_pallas(
             pltpu.VMEM((NUM_CH, CHUNK), jnp.float32),
             pltpu.VMEM((NUM_GEOM, CHUNK), jnp.float32),
             pltpu.VMEM((NUM_CH, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NUM_GEOM, CHUNK), jnp.float32),
+            pltpu.VMEM((NUM_CH, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -278,10 +342,20 @@ def blend_backward_pallas(
             jax.ShapeDtypeStruct((NUM_GEOM, cap), jnp.float32),
             jax.ShapeDtypeStruct((NUM_CH, cap), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # zero-filled inputs donate their buffers to outputs 0/1
+        # (indices count ALL operands, including the 4 scalar-prefetch args)
+        input_output_aliases={12: 0, 13: 1},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # sequential ascending grid: the spill-lane overwrite
+            # protocol at unaligned tile boundaries depends on it
+            dimension_semantics=("arbitrary",),
+        ),
         interpret=interpret,
     )(
         tile_offsets,
+        tile_heads,
+        tile_counts,
         tile_nchunks,
         geom_t,
         col_t,
@@ -291,6 +365,8 @@ def blend_backward_pallas(
         t_final[:, None, :],
         g_rgb,
         g_t[:, None, :],
+        jnp.zeros((NUM_GEOM, cap), jnp.float32),
+        jnp.zeros((NUM_CH, cap), jnp.float32),
     )
 
 

@@ -28,7 +28,9 @@ def _tile_origins(num_tiles: int, tiles_x: int, tile_size: int):
 def blend_forward_xla(
     geom_t: jax.Array,       # [8, cap]
     col_t: jax.Array,        # [8, cap]
-    tile_offsets: jax.Array,  # [num_tiles]
+    tile_offsets: jax.Array,  # [num_tiles] aligned window starts
+    tile_heads: jax.Array,    # [num_tiles]
+    tile_counts: jax.Array,   # [num_tiles]
     tile_nchunks: jax.Array,  # [num_tiles]
     *,
     tile_size: int,
@@ -42,12 +44,15 @@ def blend_forward_xla(
     LT = cm.tri_inclusive(CHUNK)
     ox, oy = _tile_origins(num_tiles, tiles_x, tile_size)
 
-    def per_tile(offset, nchunks, origin_x, origin_y):
+    def per_tile(offset, head, count, nchunks, origin_x, origin_y):
         def step(carry, k):
             idx = jnp.minimum(offset + k * CHUNK, cap - CHUNK)
             geom = jax.lax.dynamic_slice(geom_t, (0, idx), (NUM_GEOM, CHUNK))
             col = jax.lax.dynamic_slice(col_t, (0, idx), (NUM_CH, CHUNK))
-            new = cm.forward_chunk(carry, geom, col, origin_x, origin_y, F, LT)
+            new = cm.forward_chunk(
+                carry, geom, col, origin_x, origin_y, F, LT,
+                bounds=(head - k * CHUNK, head + count - k * CHUNK),
+            )
             live = k < nchunks
             carry = jax.tree.map(lambda a, b: jnp.where(live, b, a), carry, new)
             return carry, None
@@ -56,7 +61,9 @@ def blend_forward_xla(
         out, _ = jax.lax.scan(step, init, jnp.arange(max_chunks, dtype=jnp.int32))
         return out.rgb, jnp.exp(out.log_t_out)[:, 0]
 
-    rgb, t_final = jax.vmap(per_tile)(tile_offsets, tile_nchunks, ox, oy)
+    rgb, t_final = jax.vmap(per_tile)(
+        tile_offsets, tile_heads, tile_counts, tile_nchunks, ox, oy
+    )
     return rgb, t_final
 
 
@@ -64,6 +71,8 @@ def blend_backward_xla(
     geom_t: jax.Array,
     col_t: jax.Array,
     tile_offsets: jax.Array,
+    tile_heads: jax.Array,
+    tile_counts: jax.Array,
     tile_nchunks: jax.Array,
     rgb_tiles: jax.Array,    # [T, 8, PIX] forward output
     t_final: jax.Array,      # [T, PIX]
@@ -81,7 +90,7 @@ def blend_backward_xla(
     LT = cm.tri_inclusive(CHUNK)
     ox, oy = _tile_origins(num_tiles, tiles_x, tile_size)
 
-    def per_tile(offset, nchunks, origin_x, origin_y, rgb_fwd, tf, grgb, gt):
+    def per_tile(offset, head, count, nchunks, origin_x, origin_y, rgb_fwd, tf, grgb, gt):
         tf = tf[:, None]
         gt = gt[:, None]
         total_dot = jnp.sum(grgb * rgb_fwd, axis=0)[:, None]  # [PIX, 1]
@@ -91,7 +100,8 @@ def blend_backward_xla(
             geom = jax.lax.dynamic_slice(geom_t, (0, idx), (NUM_GEOM, CHUNK))
             col = jax.lax.dynamic_slice(col_t, (0, idx), (NUM_CH, CHUNK))
             g_geom, g_col, new = cm.backward_chunk(
-                carry, geom, col, origin_x, origin_y, grgb, gt, tf, total_dot, F, LT
+                carry, geom, col, origin_x, origin_y, grgb, gt, tf, total_dot, F, LT,
+                bounds=(head - k * CHUNK, head + count - k * CHUNK),
             )
             live = k < nchunks
             carry = jax.tree.map(lambda a, b: jnp.where(live, b, a), carry, new)
@@ -108,7 +118,8 @@ def blend_backward_xla(
         return gg, gc, idxs  # [max_chunks, 8, CHUNK] x2, [max_chunks]
 
     gg, gc, idxs = jax.vmap(per_tile)(
-        tile_offsets, tile_nchunks, ox, oy, rgb_tiles, t_final, g_rgb, g_t
+        tile_offsets, tile_heads, tile_counts, tile_nchunks,
+        ox, oy, rgb_tiles, t_final, g_rgb, g_t
     )
     # Scatter per-(tile, chunk) gradient slabs back to the flat buffers.
     # Chunk ranges of live chunks are disjoint across tiles; dead chunks

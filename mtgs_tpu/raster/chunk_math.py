@@ -106,7 +106,7 @@ def init_carry(tile_size: int, dtype=jnp.float32) -> BlendCarry:
     )
 
 
-def _chunk_common(geom, origin_x, origin_y, F, LT, log_t_all):
+def _chunk_common(geom, origin_x, origin_y, F, LT, log_t_all, bounds=None):
     """Shared fwd/bwd per-chunk quantities.
 
     Args:
@@ -114,6 +114,10 @@ def _chunk_common(geom, origin_x, origin_y, F, LT, log_t_all):
         origin_x, origin_y: scalar pixel coords of the tile's corner.
         F: [PIX, 8] pixel features; LT: [CHUNK, CHUNK] inclusive-triangular.
         log_t_all: [PIX, 1] carry.
+        bounds: optional (lo, hi) scalars — live lanes of this chunk are
+            lane in [lo, hi); the rest belong to ADJACENT tiles' ranges
+            (the tile's run is unaligned inside its 128-aligned chunk
+            windows) and are masked to no-ops.
 
     Returns dict of per-chunk tensors.
     """
@@ -144,7 +148,14 @@ def _chunk_common(geom, origin_x, origin_y, F, LT, log_t_all):
     )  # [PIX, CHUNK] Mahalanobis/2
     E = jnp.exp(-S)
     raw = opac * E
-    contrib = jnp.logical_and(S >= 0.0, raw >= ALPHA_MIN).astype(S.dtype)
+    contrib = jnp.logical_and(S >= 0.0, raw >= ALPHA_MIN)
+    if bounds is not None:
+        lo, hi = bounds
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, S.shape[1]), 1)
+        contrib = jnp.logical_and(
+            contrib, jnp.logical_and(lane >= lo, lane < hi)
+        )
+    contrib = contrib.astype(S.dtype)
     alpha = jnp.minimum(raw, ALPHA_MAX) * contrib
     L = jnp.log1p(-alpha)
     # inclusive cumsum over the gaussian axis (triangular matmul, MXU)
@@ -172,9 +183,10 @@ def forward_chunk(
     origin_y,
     F: jax.Array,
     LT: jax.Array,
+    bounds=None,
 ) -> BlendCarry:
     """Blend one chunk of CHUNK gaussians into the tile accumulators."""
-    c = _chunk_common(geom, origin_x, origin_y, F, LT, carry.log_t_all)
+    c = _chunk_common(geom, origin_x, origin_y, F, LT, carry.log_t_all, bounds)
     # rgb[ch, p] += sum_i col[ch, i] * w[p, i]
     rgb = carry.rgb + jax.lax.dot_general(
         col, c["w"], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -196,14 +208,16 @@ def backward_chunk(
     total_dot: jax.Array,  # [PIX, 1] sum_ch g_rgb * rgb_total
     F: jax.Array,
     LT: jax.Array,
+    bounds=None,
 ):
     """Replay one chunk front-to-back; return per-chunk gradients + carry.
 
     Returns:
         (g_geom [8, CHUNK], g_col [8, CHUNK], new_carry)
         g_geom rows: (g_mx, g_my, g_cA, g_cB, g_cC, g_opac, 0, 0).
+        Masked (bounds) lanes produce exact-zero gradients.
     """
-    c = _chunk_common(geom, origin_x, origin_y, F, LT, carry.log_t_all)
+    c = _chunk_common(geom, origin_x, origin_y, F, LT, carry.log_t_all, bounds)
     alpha, mask, T, w = c["alpha"], c["mask"], c["T"], c["w"]
 
     # gdot[p, i] = sum_ch g_rgb[ch, p] * col[ch, i]

@@ -81,45 +81,52 @@ def _f0(a):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _blend(statics, geom_t, col_t, tile_offsets, tile_nchunks):
-    out, _ = _blend_fwd(statics, geom_t, col_t, tile_offsets, tile_nchunks)
+def _blend(statics, geom_t, col_t, tile_offsets, tile_heads, tile_counts, tile_nchunks):
+    out, _ = _blend_fwd(
+        statics, geom_t, col_t, tile_offsets, tile_heads, tile_counts, tile_nchunks
+    )
     return out
 
 
-def _blend_fwd(statics, geom_t, col_t, tile_offsets, tile_nchunks):
+def _blend_fwd(statics, geom_t, col_t, tile_offsets, tile_heads, tile_counts, tile_nchunks):
     if statics.backend == "pallas":
         rgb, tfin = blend_forward_pallas(
-            geom_t, col_t, tile_offsets, tile_nchunks,
+            geom_t, col_t, tile_offsets, tile_heads, tile_counts, tile_nchunks,
             tile_size=statics.tile_size, tiles_x=statics.tiles_x,
             interpret=statics.interpret,
         )
     else:
         rgb, tfin = blend_forward_xla(
-            geom_t, col_t, tile_offsets, tile_nchunks,
+            geom_t, col_t, tile_offsets, tile_heads, tile_counts, tile_nchunks,
             tile_size=statics.tile_size, tiles_x=statics.tiles_x,
         )
-    res = (geom_t, col_t, tile_offsets, tile_nchunks, rgb, tfin)
+    res = (geom_t, col_t, tile_offsets, tile_heads, tile_counts, tile_nchunks, rgb, tfin)
     return (rgb, tfin), res
 
 
 def _blend_bwd(statics, res, cot):
-    geom_t, col_t, tile_offsets, tile_nchunks, rgb, tfin = res
+    geom_t, col_t, tile_offsets, tile_heads, tile_counts, tile_nchunks, rgb, tfin = res
     g_rgb, g_t = cot
     if statics.backend == "pallas":
         g_geom_t, g_col_t = blend_backward_pallas(
-            geom_t, col_t, tile_offsets, tile_nchunks, rgb, tfin, g_rgb, g_t,
+            geom_t, col_t, tile_offsets, tile_heads, tile_counts, tile_nchunks,
+            rgb, tfin, g_rgb, g_t,
             tile_size=statics.tile_size, tiles_x=statics.tiles_x,
             interpret=statics.interpret,
         )
     else:
         g_geom_t, g_col_t = blend_backward_xla(
-            geom_t, col_t, tile_offsets, tile_nchunks, rgb, tfin, g_rgb, g_t,
+            geom_t, col_t, tile_offsets, tile_heads, tile_counts, tile_nchunks,
+            rgb, tfin, g_rgb, g_t,
             tile_size=statics.tile_size, tiles_x=statics.tiles_x,
         )
-    # NOTE: slack capacity regions of the Pallas outputs are uninitialized;
-    # the downstream gather VJP only ever reads live slots (pair_pos is a
-    # bijection onto them), so no scrub is needed here.
-    return (g_geom_t, g_col_t, _f0(tile_offsets), _f0(tile_nchunks))
+    # Slack capacity regions of both backends' outputs are exact zeros
+    # (aliased zero-init in Pallas, zeros+scatter in XLA), so the
+    # downstream sort-based reduction needs no masking.
+    return (
+        g_geom_t, g_col_t,
+        _f0(tile_offsets), _f0(tile_heads), _f0(tile_counts), _f0(tile_nchunks),
+    )
 
 
 _blend.defvjp(_blend_fwd, _blend_bwd)
@@ -130,20 +137,26 @@ _blend.defvjp(_blend_fwd, _blend_bwd)
 #
 # The forward is a plain gather (sorted-pad-gather-transpose). Its
 # natural VJP is a 4M-row scatter-add — which SERIALIZES on TPU (~400 ms
-# at 1M gaussians). Instead: map per-slot gradients back to PAIR
-# enumeration order (a gather via binning's pair_pos bijection), where
-# each gaussian's pairs are CONTIGUOUS, then segment-reduce with one
-# cumsum + boundary gathers (~10x faster). The absgrad densify signal
-# rides the same machinery on |d means2d| rows.
+# at 1M gaussians). Instead: co-sort the per-slot gradient rows by
+# gaussian id (gidx) — a multi-operand `lax.sort` is ~5x cheaper on TPU
+# than the equivalent full-capacity random gather — which makes each
+# gaussian's contributions CONTIGUOUS, then segment-reduce with one
+# cumsum + a boundary gather at the pair-offset prefix. The absgrad
+# densify signal rides the same machinery on |d means2d| columns.
 # ------------------------------------------------------------------------
 
-@jax.custom_vjp
-def _gather_intersections(geom_n, col_n, binned, sink):
-    out, _ = _gather_fwd(geom_n, col_n, binned, sink)
+class _GatherStatics(NamedTuple):
+    c_total: int          # live color channels (incl. depth if present)
+    max_intersections: int
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_intersections(statics, geom_n, col_n, binned, sink):
+    out, _ = _gather_fwd(statics, geom_n, col_n, binned, sink)
     return out
 
 
-def _gather_fwd(geom_n, col_n, binned, sink):
+def _gather_fwd(statics, geom_n, col_n, binned, sink):
     n = geom_n.shape[0]
     # ONE 16-wide gather table (geom|col) — random-index gathers are the
     # TPU bottleneck; one pass over the indices instead of two.
@@ -164,43 +177,39 @@ def _gather_fwd(geom_n, col_n, binned, sink):
     return (geom_t, col_t), (binned, n)
 
 
-def _seg_reduce_pairs(g_rows, binned, n):
-    """[I, D] pair-ordered grads -> [N, D] per-gaussian (input order).
-
-    pair_offsets is an exclusive prefix sum, so segment ends are the next
-    gaussian's start — ONE boundary gather (N+1 rows) instead of two."""
-    I = g_rows.shape[0]
-    cs = jnp.cumsum(g_rows, axis=0)
-    cs0 = jnp.concatenate([jnp.zeros((1, g_rows.shape[1]), g_rows.dtype), cs])
-    last = binned.pair_offsets[-1:] + binned.pair_counts[-1:]
-    bounds = jnp.minimum(jnp.concatenate([binned.pair_offsets, last]), I)
-    G = cs0[bounds]
-    seg_sorted = G[1:] - G[:-1]
-    return seg_sorted[binned.inv_perm]
-
-
-def _gather_bwd(res, cot):
+def _gather_bwd(statics, res, cot):
     binned, n = res
-    g_geom_t, g_col_t = cot
-    cap = g_geom_t.shape[1]
-    # one combined 18-wide pair gather + one cumsum: [geom8 | col8 | |g_mxy|2]
-    stacked = jnp.concatenate([g_geom_t, g_col_t], axis=0)  # [16, cap]
-    if jax.default_backend() == "tpu":
-        from mtgs_tpu.raster.blend_pallas import attr_major_to_rows
+    g_geom_t, g_col_t = cot  # [8, cap] attr-major, zero on dead slots
+    ct = statics.c_total
+    # Only the live rows carry gradient: geometry rows 0..5
+    # (mx, my, cA, cB, cC, opac) and the first c_total color rows — the
+    # rest are structural zeros, so the sort need not move them.
+    rows = [g_geom_t[i] for i in range(6)] + [g_col_t[i] for i in range(ct)]
+    srt = jax.lax.sort((binned.gidx, *rows), num_keys=1, is_stable=False)
+    s = srt[1:]
+    # [cap, 6+ct+2]; the last two columns accumulate absgrad = sum of
+    # |per-tile d means2d| (gsplat's densify signal)
+    cols = jnp.stack([*s, jnp.abs(s[0]), jnp.abs(s[1])], axis=-1)
 
-        g_all = attr_major_to_rows(stacked)
-    else:
-        g_all = stacked.T
-    g_all = jnp.concatenate([g_all, jnp.abs(g_all[:, :2])], axis=-1)  # +absgrad
-    rows = jnp.concatenate(
-        [g_all, jnp.zeros((1, g_all.shape[1]), g_all.dtype)]
-    )[jnp.minimum(binned.pair_pos, cap)]  # [I, 18] pair order
+    # Segment reduce: after the sort, sorted-gaussian g's contributions
+    # occupy [min(pair_offsets[g], L), min(pair_offsets[g+1], L)) where
+    # L = min(total, max_intersections) is the live-slot count; dead
+    # slots (gidx == N) sort last and hold zeros.
+    cs = jnp.cumsum(cols, axis=0)
+    cs0 = jnp.concatenate([jnp.zeros((1, cols.shape[1]), cols.dtype), cs])
+    last = binned.pair_offsets[-1:] + binned.pair_counts[-1:]
+    bounds = jnp.minimum(
+        jnp.concatenate([binned.pair_offsets, last]), statics.max_intersections
+    )
+    G = cs0[bounds]
+    seg = (G[1:] - G[:-1])[binned.inv_perm]  # [N, 6+ct+2] input order
 
-    seg = _seg_reduce_pairs(rows, binned, n)  # [N, 18]
-    g_geom_n = seg[:, :NUM_GEOM]
-    g_col_n = seg[:, NUM_GEOM:NUM_GEOM + NUM_CH]
-    absgrad = seg[:, NUM_GEOM + NUM_CH:]
-
+    zc = jnp.zeros((n, NUM_GEOM - 6), cols.dtype)
+    g_geom_n = jnp.concatenate([seg[:, :6], zc], axis=-1)
+    g_col_n = jnp.concatenate(
+        [seg[:, 6:6 + ct], jnp.zeros((n, NUM_CH - ct), cols.dtype)], axis=-1
+    )
+    absgrad = seg[:, 6 + ct:]
     return (g_geom_n, g_col_n, jax.tree.map(_f0, binned), absgrad)
 
 
@@ -309,14 +318,21 @@ def rasterize(
     col_n = jnp.concatenate(
         [cols, jnp.zeros((N, NUM_CH - c_total), means.dtype)], axis=-1
     )  # [N, 8]
-    geom_t, col_t = _gather_intersections(geom_n, col_n, binned, absgrad_sink)
+    gather_statics = _GatherStatics(
+        c_total=c_total, max_intersections=config.max_intersections
+    )
+    geom_t, col_t = _gather_intersections(
+        gather_statics, geom_n, col_n, binned, absgrad_sink
+    )
 
     statics = _BlendStatics(
         tile_size=config.tile_size, tiles_x=config.tiles_x,
         backend=backend, interpret=config.interpret,
     )
     rgb_tiles, t_final = _blend(
-        statics, geom_t, col_t, binned.tile_offsets, binned.tile_nchunks
+        statics, geom_t, col_t,
+        binned.tile_offsets, binned.tile_heads,
+        binned.tile_counts, binned.tile_nchunks,
     )
 
     ts = config.tile_size

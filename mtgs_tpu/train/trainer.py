@@ -508,8 +508,14 @@ class Trainer:
 
     # --------------------------------------------------------------- loop
 
-    def train(self, num_steps: int, log_every: int = 100, callback=None):
+    def train(self, num_steps: int, log_every: int = 100, callback=None, writer=None):
+        """Run `num_steps`. `writer` is an optional
+        `mtgs_tpu.utils.observability.Writer` receiving every metric plus
+        step_ms / rays_per_s (ref: nerfstudio writer events)."""
+        from mtgs_tpu.utils.observability import StepTimer
+
         cc = self.cfg.control
+        timer = StepTimer(pixels_per_step=self.cfg.width * self.cfg.height)
         history = []
         for i in range(num_steps):
             step = int(self.state.step)
@@ -531,7 +537,14 @@ class Trainer:
                 if sref < cc.stop_split_at and sref % reset_interval == cc.refine_every:
                     self.state = self._reset_fn(self.state)
 
+            if writer is not None:
+                timing = timer.tick()
+                writer.put_dict(
+                    {**{k: float(v) for k, v in metrics.items()}, **timing}, step
+                )
             if callback is not None and (step % log_every == 0 or i == num_steps - 1):
                 callback(step, {k: float(v) for k, v in metrics.items()})
             history.append(metrics)
+        if writer is not None:
+            writer.flush()
         return history

@@ -1,0 +1,94 @@
+"""Eval metric suite: masked PSNR, color correction, SSIM masking,
+depth metrics, and the eval-pipeline aggregation schema.
+
+Contracts from the reference (OpenDriveLab/MTGS): `mtgs/utils/pnsr.py`
+(masked PSNR + quadratic color correction), `mtgs/utils/ssim.py`
+(mask-margin SSIM), `mtgs_scene_graph.py:1054-1064` (depth metrics),
+`custom_pipeline.py:145-198` (per-traversal nan-filtered aggregation).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mtgs_tpu.eval.metrics import color_correct, depth_metrics, masked_psnr
+from mtgs_tpu.train.losses import ssim
+
+
+def test_masked_psnr_ignores_masked_pixels():
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.uniform(0, 1, (16, 16, 3)), jnp.float32)
+    pred = gt.at[:8].set(0.0)  # corrupt the top half
+    mask_bottom = jnp.zeros((16, 16, 1)).at[8:].set(1.0)
+    # perfect where mask selects -> huge psnr
+    assert float(masked_psnr(pred, gt, mask_bottom)) > 60.0
+    assert float(masked_psnr(pred, gt)) < 20.0
+
+
+def test_color_correct_fixes_affine_shift():
+    rng = np.random.default_rng(1)
+    ref = jnp.asarray(rng.uniform(0.1, 0.9, (32, 32, 3)), jnp.float32)
+    shifted = jnp.clip(ref * 0.8 + 0.05, 0, 1)
+    p_before = float(masked_psnr(shifted, ref))
+    cc = color_correct(shifted, ref)
+    p_after = float(masked_psnr(cc, ref))
+    assert p_after > p_before + 5.0, (p_before, p_after)
+
+
+def test_ssim_identity_and_mask():
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)), jnp.float32)
+    mask = jnp.ones((32, 32, 1))
+    assert float(ssim(img, img, mask)) > 0.999
+    noisy = jnp.clip(img + 0.3 * jnp.asarray(rng.normal(size=img.shape), jnp.float32), 0, 1)
+    s_noisy = float(ssim(img, noisy, mask))
+    assert s_noisy < 0.9
+    # corrupt only OUTSIDE the mask: masked ssim stays near-perfect
+    half = jnp.zeros((32, 32, 1)).at[:, :16].set(1.0)
+    corrupted = img.at[:, 24:].set(0.0)
+    assert float(ssim(img, corrupted, half)) > 0.99
+
+
+def test_depth_metrics_known_values():
+    gt = jnp.full((8, 8, 1), 10.0)
+    pred = jnp.full((8, 8, 1), 12.0)
+    mask = jnp.ones((8, 8, 1))
+    m = depth_metrics(pred, gt, mask)
+    np.testing.assert_allclose(float(m["depth_RMSE"]), 2.0, atol=1e-5)
+    np.testing.assert_allclose(float(m["depth_absRel"]), 0.2, atol=1e-5)
+    assert float(m["depth_delta1"]) == 1.0  # 12/10 = 1.2 < 1.25
+    m2 = depth_metrics(jnp.full((8, 8, 1), 20.0), gt, mask)
+    assert float(m2["depth_delta1"]) == 0.0
+    # out-of-range gt excluded
+    gt_far = jnp.full((8, 8, 1), 100.0)
+    m3 = depth_metrics(pred, gt_far, mask)
+    assert float(m3["depth_RMSE"]) == 0.0
+
+
+def test_eval_pipeline_schema():
+    """Aggregation: per-traversal trv{i}_* keys + nan filtering + fps."""
+    from mtgs_tpu.data.synthetic import build_scene_model, make_synthetic_scene
+    from mtgs_tpu.data.synthetic import batch_iterator
+    from mtgs_tpu.eval.pipeline import EvalConfig, evaluate_scene
+    from mtgs_tpu.train.trainer import TrainerConfig
+
+    scene = make_synthetic_scene(
+        seed=0, width=32, height=32, n_travels=2, n_frames=2, n_bg=200, n_instance=0
+    )
+    params, aux = build_scene_model(scene, with_instances=False)
+    cfg = TrainerConfig(
+        width=32, height=32, max_intersections=1 << 12, backend="xla",
+        predict_normals=False,
+    )
+    batches = []
+    it = batch_iterator(scene)
+    for _ in range(3):
+        batches.append(next(it))
+    result = evaluate_scene(
+        params, aux, cfg, batches, eval_cfg=EvalConfig(color_corrected=True, lpips=False)
+    )
+    assert "psnr" in result and "ssim" in result and "cc_psnr" in result
+    assert "fps" in result
+    trv_keys = [k for k in result if k.startswith("trv")]
+    assert trv_keys, result.keys()
+    for v in result.values():
+        assert np.isfinite(v) or np.isnan(v)
