@@ -42,6 +42,39 @@ def quat_scale_to_covar(quats: jax.Array, scales: jax.Array) -> jax.Array:
     return M @ jnp.swapaxes(M, -1, -2)
 
 
+def _camera_covar_entries(quats, scales, R_cw):
+    """Upper-triangle entries of A diag(s^2) A^T with A = R_cw @ R(quat).
+
+    Fully elementwise over [N] arrays — the batched [N,3,3] dot_general
+    formulation costs ~18 ms/step at 1M gaussians in layout copies +
+    small-matmul overhead on TPU; this expansion fuses into the
+    surrounding projection pipeline on the VPU.
+    """
+    q = quats / jnp.sqrt(jnp.sum(quats * quats, -1, keepdims=True) + 1e-24)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    # rotation-matrix entries of R(quat) (rows m, cols k)
+    r = [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ]
+    # A = R_cw @ R(quat): A[i][k] = sum_m R_cw[i,m] r[m][k] (R_cw scalars)
+    A = [
+        [
+            R_cw[i, 0] * r[0][k] + R_cw[i, 1] * r[1][k] + R_cw[i, 2] * r[2][k]
+            for k in range(3)
+        ]
+        for i in range(3)
+    ]
+    s2 = scales * scales
+    s2k = [s2[:, 0], s2[:, 1], s2[:, 2]]
+
+    def cov(i, j):
+        return sum(s2k[k] * A[i][k] * A[j][k] for k in range(3))
+
+    return cov(0, 0), cov(0, 1), cov(0, 2), cov(1, 1), cov(1, 2), cov(2, 2)
+
+
 def project_gaussians(
     means: jax.Array,
     quats: jax.Array,
@@ -84,9 +117,9 @@ def project_gaussians(
     mean_c = means @ R_cw.T + t_cw  # [N, 3]
     z = mean_c[:, 2]
 
-    # 3D covariance in camera frame.
-    covar = quat_scale_to_covar(quats, scales)  # [N, 3, 3]
-    covar_c = jnp.einsum("ij,njk,lk->nil", R_cw, covar, R_cw)  # R C R^T
+    # 3D covariance in camera frame, as elementwise entry formulas (no
+    # [N, 3, 3] batched dots — see _camera_covar_entries).
+    c00, c01, c02, c11, c12, c22 = _camera_covar_entries(quats, scales, R_cw)
 
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
 
@@ -115,9 +148,6 @@ def project_gaussians(
     j12 = -fy * ty * rz2
 
     # cov2d = J covar_c J^T, expanded to avoid materializing [N, 2, 3].
-    c = covar_c
-    c00, c01, c02 = c[:, 0, 0], c[:, 0, 1], c[:, 0, 2]
-    c11, c12, c22 = c[:, 1, 1], c[:, 1, 2], c[:, 2, 2]
     v00 = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22)
     v01 = j11 * (j00 * c01 + j02 * c12) + j12 * (j00 * c02 + j02 * c22)
     v11 = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22)

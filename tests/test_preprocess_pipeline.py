@@ -1,0 +1,173 @@
+"""Data-factory spine: staged store, traversal splitting, COLMAP IO,
+depth codec, and the resumable pipeline driver.
+
+Behavior contracts from OpenDriveLab/MTGS `nuplan_scripts/`:
+video_scene_dict_tools.py (staged pickles + filters),
+nuplan_video_processing.py (in-region splitting, chamfer dedup),
+utils/colmap_utils/ (binary model format, sim3 alignment),
+generate_dense_depth.py (2-channel PNG codec).
+"""
+
+import numpy as np
+import pytest
+
+from mtgs_tpu.preprocess import colmap as cm
+from mtgs_tpu.preprocess import video_split as sp
+from mtgs_tpu.preprocess.dense_depth import (
+    decode_depth_png,
+    depth_error_report,
+    encode_depth_png,
+)
+from mtgs_tpu.preprocess.pipeline import run_pipeline
+from mtgs_tpu.preprocess.video_scene import VideoScene, apply_filters
+
+
+def _vsd(n_videos=3, n_frames=20, step=1.0):
+    out = {}
+    for v in range(n_videos):
+        frames = []
+        for f in range(n_frames):
+            frames.append(
+                dict(
+                    can_bus=np.array([f * step, v * 10.0, 0.0, 1, 0, 0, 0]),
+                    ego2global_translation=[f * step, v * 10.0, 0.0],
+                    ego2global_rotation=[1, 0, 0, 0],
+                    lidar_path=f"lidar/{v}_{f}.pcd",
+                )
+            )
+        out[f"log-{v}"] = dict(video_token=f"log-{v}", frame_infos=frames)
+    return out
+
+
+def test_staged_store_symlink(tmp_path):
+    vs = VideoScene(tmp_path, "block")
+    d = _vsd()
+    vs.save(d, "raw")
+    assert vs.pickle_path.is_symlink()
+    assert vs.load()["log-0"]["video_token"] == "log-0"
+    d2 = {k: v for k, v in d.items() if k != "log-2"}
+    vs.save(d2, "registered")
+    assert len(vs.load()) == 2           # canonical link follows the newest
+    assert len(vs.load("raw")) == 3      # older stage still addressable
+    assert vs.latest_stage() == "registered"
+
+
+def test_filters():
+    d = _vsd(n_videos=3)
+    out = apply_filters(
+        d, ["filter_by_video_idx"],
+        filter_by_video_idx=dict(video_idxs=[0, dict(idx=2, start_frame=5, end_frame=15)]),
+    )
+    assert set(out) == {"log-0", "log-2"}
+    assert len(out["log-2"]["frame_infos"]) == 10
+
+    # parked frames get skipped, bounded runs
+    d = _vsd(n_videos=1, n_frames=30, step=0.0)
+    out = apply_filters(d, ["filter_low_velocity"])
+    skipped = [f.get("skipped") for f in out["log-0"]["frame_infos"]]
+    assert sum(bool(s) for s in skipped) > 15
+    # a run is broken every max_consecutive frames
+    assert not all(skipped[1:])
+    out = apply_filters(out, ["filter_skipped_frames"])
+    assert len(out["log-0"]["frame_infos"]) < 30
+
+    out = apply_filters(out, ["inject_trajectory"])
+    assert out["log-0"]["trajectory"].shape[1] == 3
+
+
+def test_split_in_region_videos():
+    # straight line crossing the block twice
+    t = np.linspace(0, 200, 201)
+    pos = np.stack([t, np.zeros_like(t)], -1)
+    pos[100:130, 1] = 100.0  # detour out of the block
+    block = (40.0, -10.0, 160.0, 10.0)
+    vids = sp.split_in_region_videos(pos, block, expand_buffer=5.0, min_frames=5)
+    assert len(vids) == 2
+    for idx in vids:
+        # expanded ~5 m beyond the block on both ends
+        assert pos[idx[0], 0] < 41.0 or pos[idx[0], 1] > 10
+        assert len(idx) >= 5
+
+
+def test_sort_and_dedupe():
+    base = np.stack([np.linspace(0, 100, 50), np.zeros(50), np.zeros(50)], -1)
+    videos = [
+        dict(trajectory=base + [0, 20, 0], lidar_pc_tokens=["a"]),
+        dict(trajectory=base, lidar_pc_tokens=["central"]),
+        dict(trajectory=base + [0, 1.0, 0], lidar_pc_tokens=["b"]),  # dup of base
+    ]
+    kept = sp.sort_and_dedupe_videos(videos, central_token="central")
+    assert kept[0]["lidar_pc_tokens"] == ["central"]
+    assert len(kept) == 2  # near-duplicate dropped
+    assert [v["video_idx"] for v in kept] == [0, 1]
+
+
+def test_colmap_model_roundtrip(tmp_path):
+    cams = {1: cm.Camera(1, "OPENCV", 1920, 1080,
+                         np.array([1000.0, 1000.0, 960.0, 540.0, 0.01, -0.01, 0.0, 0.0]))}
+    ims = {
+        7: cm.Image(7, np.array([1.0, 0, 0, 0]), np.array([0.5, -1.0, 2.0]), 1,
+                    "cam/img_000.jpg", np.array([[10.0, 20.0], [30.0, 40.0]]),
+                    np.array([3, -1], np.int64)),
+    }
+    pts = {3: cm.Point3D(3, np.array([1.0, 2.0, 3.0]), np.array([255, 128, 0], np.uint8),
+                         0.5, np.array([7], np.uint32), np.array([0], np.uint32))}
+    cm.write_model(cams, ims, pts, tmp_path)
+    c2, i2, p2 = cm.read_model(tmp_path)
+    assert c2[1].model == "OPENCV" and c2[1].width == 1920
+    np.testing.assert_allclose(c2[1].params, cams[1].params)
+    assert i2[7].name == "cam/img_000.jpg"
+    np.testing.assert_allclose(i2[7].xys, ims[7].xys)
+    np.testing.assert_array_equal(i2[7].point3D_ids, ims[7].point3D_ids)
+    np.testing.assert_allclose(p2[3].xyz, pts[3].xyz)
+    assert p2[3].rgb.tolist() == [255, 128, 0]
+
+
+def test_colmap_database(tmp_path):
+    db = cm.ColmapDatabase(tmp_path / "db.sqlite")
+    db.add_camera(cm.Camera(1, "PINHOLE", 100, 100, np.array([50.0, 50.0, 50.0, 50.0])))
+    db.add_image(cm.Image(1, np.array([1.0, 0, 0, 0]), np.zeros(3), 1, "a.jpg"))
+    db.add_image(cm.Image(2, np.array([1.0, 0, 0, 0]), np.ones(3), 1, "b.jpg"))
+    db.add_keypoints(1, np.array([[1.0, 2.0], [3.0, 4.0]]))
+    db.add_matches(2, 1, np.array([[0, 1]]))  # reversed ids -> swapped cols
+    db.commit()
+    rows = db.conn.execute("SELECT pair_id, rows, cols FROM matches").fetchall()
+    assert rows == [(cm.image_ids_to_pair_id(1, 2), 1, 2)]
+    db.close()
+
+
+def test_umeyama_sim3():
+    rng = np.random.default_rng(0)
+    src = rng.normal(size=(50, 3))
+    # ground-truth similarity
+    from mtgs_tpu.core.quat import quat_to_rotmat
+    import jax.numpy as jnp
+
+    R = np.asarray(quat_to_rotmat(jnp.asarray([0.9, 0.1, -0.2, 0.3])))
+    s, t = 2.5, np.array([1.0, -2.0, 3.0])
+    dst = s * src @ R.T + t
+    s2, R2, t2 = cm.umeyama_sim3(src, dst)
+    np.testing.assert_allclose(s2, s, rtol=1e-5)
+    np.testing.assert_allclose(R2, R, atol=1e-5)
+    np.testing.assert_allclose(t2, t, atol=1e-4)
+
+
+def test_depth_codec_roundtrip():
+    rng = np.random.default_rng(1)
+    d = rng.uniform(0.1, 80.0, (32, 32)).astype(np.float32)
+    dec = decode_depth_png(encode_depth_png(d))
+    np.testing.assert_allclose(dec, d, atol=0.006)  # 1 cm quantization
+    # clipping
+    assert decode_depth_png(encode_depth_png(np.full((2, 2), 500.0))).max() <= 80.0
+    rep = depth_error_report(dec, d)
+    assert rep["delta1"] == 1.0 and rep["abs_rel"] < 1e-3
+
+
+def test_pipeline_driver_skips_unavailable(tmp_path):
+    status = run_pipeline(tmp_path, "block", {}, skip_unavailable=True)
+    # every stage reported, none crashed the driver
+    assert len(status) == 8
+    assert all(v.startswith(("ok", "skipped", "failed")) for v in status.values())
+    # stages missing external deps are SKIPPED (not failed)
+    assert status["video_split"].startswith("skipped")
+    assert status["semantic_masks"].startswith("skipped")
