@@ -98,10 +98,20 @@ def optimizer_table(max_steps: int = ITERS) -> OptimConfig:
     return OptimConfig(groups=default_groups(max_steps))
 
 
+def wild_gaussians_config(width: int = 960, height: int = 540, max_steps: int = ITERS) -> TrainerConfig:
+    """WildGaussians appearance baseline (`mtgs/config/WildGaussians.py`):
+    per-image embedding + color MLP instead of SH view dependence — build
+    the scene with `init_scene(..., wild_appearance=True)` /
+    `build_scene_model(..., wild_appearance=True)`; the trainer picks the
+    wild path up from `params.wild` being present."""
+    return mtgs_config(width, height, max_steps)
+
+
 METHODS = {
     "mtgs": mtgs_config,
     "3dgs": gs3d_config,
     "mtgs_deformable": mtgs_deformable_config,
+    "wild_gaussians": wild_gaussians_config,
 }
 
 

@@ -244,7 +244,8 @@ def batch_iterator(scene: SyntheticScene, seed: int = 0) -> Iterator[Batch]:
 
 
 def build_scene_model(scene: SyntheticScene, *, with_instances: bool = True,
-                      with_skybox: bool = False, capacity: int | None = None):
+                      with_skybox: bool = False, capacity: int | None = None,
+                      wild_appearance: bool = False):
     """Initialize SceneParams/SceneAux from a synthetic scene's seeds."""
     from mtgs_tpu.models.gaussians import (
         init_node_from_points, init_skybox_node, node_capacity,
@@ -296,4 +297,5 @@ def build_scene_model(scene: SyntheticScene, *, with_instances: bool = True,
     return init_scene(
         bg, sky, inst,
         num_cameras=1, num_images=scene.frame_rows,
+        wild_appearance=wild_appearance,
     )

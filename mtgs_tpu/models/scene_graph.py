@@ -32,6 +32,7 @@ from flax import struct
 from mtgs_tpu.core.quat import quat_mult, quat_normalize, quat_rotate, slerp
 from mtgs_tpu.core.sh import num_sh_bases, sh_basis
 from mtgs_tpu.models import deform as deform_lib
+from mtgs_tpu.models import wild as wild_lib
 from mtgs_tpu.models.gaussians import (
     GaussianNodeParams,
     NodeAux,
@@ -82,6 +83,10 @@ class SceneParams:
     deformables: Optional[DeformableParams]
     appearance: jax.Array               # [num_cams, 3, 4] exposure affine
     camera_opt: jax.Array               # [num_images, 6] SO3xR3 deltas
+    # WildGaussians baseline: per-image embedding + color MLP replacing
+    # SH view dependence on the multicolor nodes (ref
+    # `mtgs_scene_graph.py:308-318,613-632`); None for the other methods.
+    wild: Optional[wild_lib.WildAppearanceParams] = None
 
 
 @struct.dataclass
@@ -114,6 +119,7 @@ class ViewInputs:
     timestamp: jax.Array                # [] float normalized timestamp
     cam_pos: jax.Array                  # [3] camera origin (world)
     sh_mask: jax.Array                  # [num_sh_bases] 0/1 degree-ramp mask
+    image_idx: jax.Array = 0            # [] int32 image row (wild appearance)
 
 
 def node_segments(params: SceneParams) -> List[Tuple[str, int, int]]:
@@ -289,6 +295,13 @@ def collect_gaussians(
     """
     outs = []
 
+    def node_colors(p, dc, rest):
+        if params.wild is not None:
+            # WildGaussians: per-image embedding + MLP instead of SH
+            r3 = rest if rest.ndim == 3 else rest[:, 0]
+            return wild_lib.wild_colors(params.wild, dc, r3, view.image_idx)
+        return _eval_colors(p.means, dc, rest, view.cam_pos, view.sh_mask)
+
     # background
     p = params.background
     dc, rest = _multicolor_features(p, view.travel_index, cfg.travel_mode)
@@ -297,7 +310,7 @@ def collect_gaussians(
         get_quats(p),
         get_scales(p),
         get_opacities(p, aux.background),
-        _eval_colors(p.means, dc, rest, view.cam_pos, view.sh_mask),
+        node_colors(p, dc, rest),
     ))
 
     if params.skybox is not None:
@@ -308,7 +321,7 @@ def collect_gaussians(
             get_quats(p),
             get_scales(p),
             get_opacities(p, aux.skybox),
-            _eval_colors(p.means, dc, rest, view.cam_pos, view.sh_mask),
+            node_colors(p, dc, rest),
         ))
 
     if params.instances is not None:
@@ -347,6 +360,7 @@ def init_scene(
     *,
     num_cameras: int = 1,
     num_images: int = 1,
+    wild_appearance: bool = False,
 ) -> Tuple[SceneParams, SceneAux]:
     """Assemble SceneParams/SceneAux from per-node inits."""
     from mtgs_tpu.models.appearance import init_exposure
@@ -358,6 +372,9 @@ def init_scene(
         deformables=None if deformables is None else deformables[0],
         appearance=init_exposure(num_cameras),
         camera_opt=jnp.zeros((num_images, 6), jnp.float32),
+        wild=wild_lib.init_wild(jax.random.key(0), num_images)
+        if wild_appearance
+        else None,
     )
     auxs = SceneAux(
         background=background[1],

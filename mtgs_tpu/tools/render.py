@@ -108,3 +108,50 @@ def render_trajectory(
         except (FileNotFoundError, subprocess.CalledProcessError):
             pass  # frames remain
     return paths
+
+
+def load_camera_path_json(path: str | Path) -> dict:
+    """Parse a viewer camera-path JSON (the `camera-path` render mode,
+    ref `RenderCameraPath` in `mtgs/tools/render.py` — nerfstudio's
+    keyframed path format: per-frame `camera_to_world` (row-major 16
+    floats) + vertical `fov` degrees, plus render size/fps/seconds).
+
+    Returns dict(poses [M, 4, 4], Ks [M, 3, 3], width, height, fps).
+    """
+    import json
+
+    spec = json.loads(Path(path).read_text())
+    W = int(spec.get("render_width", 1920))
+    H = int(spec.get("render_height", 1080))
+    frames = spec.get("camera_path", [])
+    n = len(frames)
+    fps = float(spec.get("fps", n / max(float(spec.get("seconds", n / 30.0)), 1e-6)))
+    poses = np.zeros((n, 4, 4), np.float32)
+    Ks = np.zeros((n, 3, 3), np.float32)
+    for i, f in enumerate(frames):
+        poses[i] = np.asarray(f["camera_to_world"], np.float32).reshape(4, 4)
+        fov = float(f.get("fov", 50.0))
+        fy = 0.5 * H / np.tan(0.5 * np.deg2rad(fov))
+        Ks[i] = [[fy, 0, W / 2], [0, fy, H / 2], [0, 0, 1]]
+    return dict(poses=poses, Ks=Ks, width=W, height=H, fps=fps)
+
+
+def render_camera_path(
+    params: SceneParams,
+    aux: SceneAux,
+    cfg: TrainerConfig,
+    camera_path_json: str | Path,
+    out_dir: str | Path,
+    *,
+    travel_index: int = 0,
+    make_video: bool = True,
+) -> List[Path]:
+    """Render a viewer-authored camera path (`camera-path` subcommand)."""
+    spec = load_camera_path_json(camera_path_json)
+    cfg = cfg.replace(width=spec["width"], height=spec["height"])
+    ts = np.linspace(0.0, 1.0, len(spec["poses"]), dtype=np.float32)
+    return render_trajectory(
+        params, aux, cfg, spec["poses"], ts, spec["Ks"][0],
+        travel_index, out_dir, fps=int(round(spec["fps"])),
+        make_video=make_video,
+    )

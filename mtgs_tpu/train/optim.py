@@ -123,9 +123,12 @@ def param_labels(params: SceneParams) -> SceneParams:
             embeddings="embeddings",
             mlp=jax.tree.map(lambda _: "deform_network", params.deformables.mlp),
         )
+    wild = None
+    if params.wild is not None:
+        wild = jax.tree.map(lambda _: "appearance", params.wild)
     return SceneParams(
         background=bg, skybox=sky, instances=inst, deformables=def_,
-        appearance="appearance", camera_opt="camera_opt",
+        appearance="appearance", camera_opt="camera_opt", wild=wild,
     )
 
 

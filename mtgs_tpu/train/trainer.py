@@ -128,6 +128,7 @@ def render_view(
         timestamp=batch.timestamp,
         cam_pos=c2w[:3, 3],
         sh_mask=ctrl.sh_degree_mask(step, cfg.control),
+        image_idx=batch.image_idx,
     )
     g = collect_gaussians(params, aux, scene_cfg, view)
 

@@ -1,0 +1,77 @@
+"""Render tool: camera-path JSON parsing + trajectory rendering.
+
+Ref `mtgs/tools/render.py` (OpenDriveLab/MTGS) subcommands
+`camera-path` / `interpolate`.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from mtgs_tpu.data.synthetic import build_scene_model, make_synthetic_scene
+from mtgs_tpu.tools.render import (
+    interpolate_poses,
+    load_camera_path_json,
+    render_camera_path,
+)
+from mtgs_tpu.train.trainer import TrainerConfig
+
+
+def test_load_camera_path_json(tmp_path):
+    frames = []
+    for i in range(4):
+        c2w = np.eye(4)
+        c2w[0, 3] = i * 1.0
+        frames.append(dict(camera_to_world=c2w.reshape(-1).tolist(), fov=60.0))
+    spec = dict(camera_path=frames, render_width=64, render_height=48,
+                seconds=2.0)
+    p = tmp_path / "path.json"
+    p.write_text(json.dumps(spec))
+    out = load_camera_path_json(p)
+    assert out["poses"].shape == (4, 4, 4)
+    assert out["width"] == 64 and out["height"] == 48
+    fy = out["Ks"][0][1, 1]
+    np.testing.assert_allclose(fy, 0.5 * 48 / np.tan(np.deg2rad(30.0)), rtol=1e-5)
+    np.testing.assert_allclose(out["fps"], 2.0)
+
+
+def test_interpolate_poses_doubles_rate():
+    n = 5
+    poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    poses[:, 0, 3] = np.arange(n, dtype=np.float32)
+    ts = np.linspace(0, 1, n).astype(np.float32)
+    out_poses, out_ts = interpolate_poses(poses, ts, target_hz=4.0, source_hz=2.0)
+    assert len(out_poses) == 2 * (n - 1) + 1
+    np.testing.assert_allclose(out_poses[1][0, 3], 0.5, atol=1e-5)
+    assert np.all(np.diff(out_ts) > 0)
+
+
+def test_render_camera_path(tmp_path):
+    scene = make_synthetic_scene(
+        seed=0, width=32, height=32, n_travels=1, n_frames=2, n_bg=150, n_instance=0
+    )
+    params, aux = build_scene_model(scene, with_instances=False)
+    cfg = TrainerConfig(
+        width=32, height=32, max_intersections=1 << 12, backend="xla",
+        predict_normals=False,
+    )
+    from mtgs_tpu.data.synthetic import batch_iterator
+
+    batch = next(batch_iterator(scene))
+    c2w = np.asarray(batch.c2w, np.float64)
+    frames = [
+        dict(camera_to_world=c2w.reshape(-1).tolist(), fov=70.0) for _ in range(2)
+    ]
+    p = tmp_path / "path.json"
+    p.write_text(json.dumps(dict(camera_path=frames, render_width=32,
+                                 render_height=32, seconds=1.0)))
+    written = render_camera_path(
+        params, aux, cfg, p, tmp_path / "out", make_video=False
+    )
+    assert len(written) == 2
+    from PIL import Image
+
+    img = np.asarray(Image.open(written[0]))
+    assert img.shape == (32, 32, 3)
+    assert img.max() > 0  # rendered something

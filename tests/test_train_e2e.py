@@ -97,3 +97,27 @@ def test_sh_degree_mask():
     assert m1[:4].sum() == 4 and m1[4:].sum() == 0
     m3 = np.asarray(ctrl.sh_degree_mask(jnp.asarray(1000), cfg))
     assert m3.sum() == 16
+
+
+def test_wild_gaussians_training(scene):
+    """WildGaussians baseline: per-image appearance MLP path trains and
+    its parameters receive gradients (ref `mtgs/config/WildGaussians.py`)."""
+    from mtgs_tpu.data.synthetic import build_scene_model
+    from mtgs_tpu.train.trainer import Trainer, TrainerConfig
+    from mtgs_tpu.data.synthetic import batch_iterator
+
+    params, aux = build_scene_model(scene, with_instances=False, wild_appearance=True)
+    assert params.wild is not None
+    emb0 = np.asarray(params.wild.embeddings).copy()
+    cfg = TrainerConfig(
+        width=scene.width, height=scene.height, max_intersections=1 << 14,
+        backend="xla", predict_normals=False,
+        control=ctrl.ControlConfig(densify_from_iter=10_000, sh_degree_interval=20),
+    )
+    trainer = Trainer(cfg, params, aux, batch_iterator(scene))
+    hist = trainer.train(30, log_every=10)
+    p0 = float(np.mean([float(h["psnr"]) for h in hist[:5]]))
+    p1 = float(np.mean([float(h["psnr"]) for h in hist[-5:]]))
+    assert p1 > p0 + 1.0, (p0, p1)
+    emb1 = np.asarray(trainer.state.params.wild.embeddings)
+    assert not np.allclose(emb0, emb1)  # wild params actually optimized
