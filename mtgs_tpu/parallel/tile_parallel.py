@@ -20,7 +20,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from mtgs_tpu.raster import binning
 from mtgs_tpu.raster.blend_pallas import blend_forward_pallas
 from mtgs_tpu.raster.blend_xla import blend_forward_xla
-from mtgs_tpu.raster.chunk_math import NUM_CH, NUM_GEOM
+from mtgs_tpu.raster.chunk_math import NUM_GEOM
 from mtgs_tpu.raster.projection import project_gaussians
 from mtgs_tpu.raster.rasterize import RasterizeConfig, _finalize
 
@@ -48,20 +48,15 @@ def rasterize_tile_sharded(
         width=config.width, height=config.height,
         tile_size=config.tile_size, max_intersections=config.max_intersections,
     )
-    N = means.shape[0]
-    zeros_n = jnp.zeros((N,), means.dtype)
-    geom_n = jnp.stack(
-        [proj.means2d[:, 0], proj.means2d[:, 1],
-         proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
-         op_eff, zeros_n, zeros_n], axis=-1)
-    col_n = jnp.concatenate(
-        [cols, jnp.zeros((N, NUM_CH - c_total), means.dtype)], axis=-1)
-    geom_t = jnp.concatenate(
-        [geom_n[binned.perm], jnp.zeros((1, NUM_GEOM), means.dtype)]
-    )[binned.gidx].T
-    col_t = jnp.concatenate(
-        [col_n[binned.perm], jnp.zeros((1, NUM_CH), means.dtype)]
-    )[binned.gidx].T
+    table = jnp.concatenate(
+        [proj.means2d, proj.conics, op_eff[:, None], cols], axis=-1
+    )  # [N, 6 + c_total]
+    w = NUM_GEOM + c_total
+    w_pad = ((w + 7) // 8) * 8  # DMA sublane tiling
+    rows = jnp.concatenate(
+        [table[binned.perm], jnp.zeros((1, w), means.dtype)]
+    )[binned.gidx]
+    slab_t = jnp.pad(rows, ((0, 0), (0, w_pad - w))).T
 
     T = binned.tile_offsets.shape[0]
     T_pad = ((T + n_dev - 1) // n_dev) * n_dev
@@ -73,25 +68,26 @@ def rasterize_tile_sharded(
     backend = config.resolve_backend()
     blend = blend_forward_pallas if backend == "pallas" else blend_forward_xla
 
-    def shard_fn(offs_l, hds_l, cnts_l, nchk_l, geom_l, col_l):
+    def shard_fn(offs_l, hds_l, cnts_l, nchk_l, slab_l):
         return blend(
-            geom_l, col_l, offs_l, hds_l, cnts_l, nchk_l,
+            slab_l, offs_l, hds_l, cnts_l, nchk_l,
             tile_size=config.tile_size, tiles_x=config.tiles_x,
+            c_total=c_total,
             **({"interpret": config.interpret} if backend == "pallas" else {}),
         )
 
     rgb_tiles, t_final = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=(P(axis), P(axis)),
         check_vma=False,
-    )(offs, hds, cnts, nchk, geom_t, col_t)
+    )(offs, hds, cnts, nchk, slab_t)
 
     ts = config.tile_size
-    img = rgb_tiles[:T].reshape(config.tiles_y, config.tiles_x, NUM_CH, ts, ts)
+    img = rgb_tiles[:T].reshape(config.tiles_y, config.tiles_x, c_total, ts, ts)
     img = img.transpose(0, 3, 1, 4, 2).reshape(
-        config.tiles_y * ts, config.tiles_x * ts, NUM_CH
+        config.tiles_y * ts, config.tiles_x * ts, c_total
     )[: config.height, : config.width, :c_total]
     t_img = t_final[:T].reshape(config.tiles_y, config.tiles_x, ts, ts)
     t_img = t_img.transpose(0, 2, 1, 3).reshape(

@@ -7,23 +7,25 @@ tile program:
 
   * reads its intersection range (aligned window start, head, count,
     nchunks) from scalar-prefetched SMEM (`PrefetchScalarGridSpec`),
-  * DMAs (8, CHUNK) geometry/color slabs HBM->VMEM from 128-ALIGNED
-    windows covering the tile's unaligned run [start, start+count) in
-    sorted-pair order; lanes outside [head, head+count) belong to
-    adjacent tiles and are masked to no-ops,
+  * DMAs ONE (6 + c_total, CHUNK) geometry+color slab HBM->VMEM from
+    128-ALIGNED windows covering the tile's unaligned run
+    [start, start+count) in sorted-pair order; lanes outside
+    [head, head+count) belong to adjacent tiles and are masked to
+    no-ops,
   * runs the chunk math (MXU matmuls for sigma/cumsum/accumulation),
   * early-exits the chunk loop once every pixel's transmittance is
     saturated (the TPU analog of the CUDA warp `done` break),
-  * writes its (8, PIX) color block + (PIX,) final transmittance.
+  * writes its (c_total, PIX) color block + (PIX,) final transmittance.
 
 The backward kernel replays chunks front-to-back (no stored
 per-intersection state; suffix terms recovered from the forward outputs)
-and accumulates per-intersection gradients into HBM via
-read-modify-write (boundary windows are shared between adjacent tiles
-with complementary masks; the sequential ascending grid makes the
-read-add-write race-free — no atomics). Early-exited and slack ranges
-keep their zero-init (aliased zero inputs). The final per-gaussian
-reduction is a sort+segment-sum outside the kernel.
+and accumulates per-intersection gradients into HBM. Boundary windows
+shared between adjacent tiles (complementary masks) read-modify-write on
+each tile's FIRST window only — interior windows are untouched zeros —
+and the sequential ascending grid makes that race-free (no atomics).
+Early-exited and slack ranges keep their zero-init (aliased zero
+inputs). The final per-gaussian reduction is a sort+segment-sum outside
+the kernel.
 
 Multi-chip: shard tiles across devices at the JAX level (shard_map over
 the tile axis); each device runs this kernel on its tile subset.
@@ -40,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mtgs_tpu.raster import chunk_math as cm
-from mtgs_tpu.raster.chunk_math import CHUNK, LOG_T_EPS, NUM_CH, NUM_GEOM
+from mtgs_tpu.raster.chunk_math import CHUNK, LOG_T_EPS
 
 
 def _origin(tile_id, tiles_x: int, tile_size: int):
@@ -56,8 +58,7 @@ def _fwd_kernel(
     cnt_ref,    # live pairs per tile
     nch_ref,    # aligned windows per tile
     # inputs (HBM)
-    geom_hbm,
-    col_hbm,
+    slab_hbm,   # [6 + c_total, cap]
     # constants (VMEM)
     f_ref,
     lt_ref,
@@ -65,12 +66,12 @@ def _fwd_kernel(
     rgb_ref,
     tfin_ref,
     # scratch
-    geom_s,
-    col_s,
+    slab_s,
     sems,
     *,
     tile_size: int,
     tiles_x: int,
+    c_total: int,
 ):
     t = pl.program_id(0)
     offset = off_ref[t]
@@ -89,31 +90,25 @@ def _fwd_kernel(
     def body(state):
         k, carry = state
         idx = pl.multiple_of(offset + k * CHUNK, CHUNK)
-        cp_g = pltpu.make_async_copy(
-            geom_hbm.at[:, pl.ds(idx, CHUNK)], geom_s, sems.at[0]
+        cp = pltpu.make_async_copy(
+            slab_hbm.at[:, pl.ds(idx, CHUNK)], slab_s, sems.at[0]
         )
-        cp_c = pltpu.make_async_copy(
-            col_hbm.at[:, pl.ds(idx, CHUNK)], col_s, sems.at[1]
-        )
-        cp_g.start()
-        cp_c.start()
-        cp_g.wait()
-        cp_c.wait()
+        cp.start()
+        cp.wait()
         carry = cm.forward_chunk(
-            carry, geom_s[:], col_s[:], ox, oy, F, LT,
+            carry, slab_s[0: cm.NUM_GEOM + c_total], ox, oy, F, LT,
             bounds=(head - k * CHUNK, head + count - k * CHUNK),
         )
         return k + 1, carry
 
-    init = (jnp.zeros((), jnp.int32), cm.init_carry(tile_size))
+    init = (jnp.zeros((), jnp.int32), cm.init_carry(tile_size, c_total))
     _, carry = jax.lax.while_loop(cond, body, init)
     rgb_ref[0] = carry.rgb
     tfin_ref[0] = jnp.exp(carry.log_t_out).reshape(1, P)
 
 
 def blend_forward_pallas(
-    geom_t: jax.Array,
-    col_t: jax.Array,
+    slab_t: jax.Array,        # [8-aligned W >= 6 + c_total, cap]
     tile_offsets: jax.Array,
     tile_heads: jax.Array,
     tile_counts: jax.Array,
@@ -121,46 +116,48 @@ def blend_forward_pallas(
     *,
     tile_size: int,
     tiles_x: int,
+    c_total: int,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (rgb_tiles [T, 8, PIX], t_final [T, PIX])."""
+    """Returns (rgb_tiles [T, c_total, PIX], t_final [T, PIX])."""
     T = tile_offsets.shape[0]
     P = tile_size * tile_size
+    W = slab_t.shape[0]
+    ct = c_total
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((P, NUM_GEOM), lambda t, *_: (0, 0)),
+            pl.BlockSpec((P, cm.NUM_GEOM), lambda t, *_: (0, 0)),
             pl.BlockSpec((CHUNK, CHUNK), lambda t, *_: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, NUM_CH, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, ct, P), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NUM_GEOM, CHUNK), jnp.float32),
-            pltpu.VMEM((NUM_CH, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((W, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
     )
-    kernel = functools.partial(_fwd_kernel, tile_size=tile_size, tiles_x=tiles_x)
+    kernel = functools.partial(
+        _fwd_kernel, tile_size=tile_size, tiles_x=tiles_x, c_total=ct
+    )
     rgb, tfin = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T, NUM_CH, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, ct, P), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(tile_offsets, tile_heads, tile_counts, tile_nchunks, geom_t, col_t,
+    )(tile_offsets, tile_heads, tile_counts, tile_nchunks, slab_t,
       cm.pixel_features(tile_size), cm.tri_inclusive(CHUNK))
     return rgb, tfin[:, 0, :]
-
 
 
 def _bwd_kernel(
@@ -169,31 +166,26 @@ def _bwd_kernel(
     cnt_ref,    # live pairs per tile
     nch_ref,    # aligned windows per tile
     # inputs
-    geom_hbm,
-    col_hbm,
+    slab_hbm,
     f_ref,
     lt_ref,
-    rgb_ref,     # [1, 8, P] forward accumulated color
-    tfin_ref,    # [1, P]
-    grgb_ref,    # [1, 8, P]
-    gt_ref,      # [1, P]
-    zg_geom_hbm,  # zero-filled [8, cap], aliased to g_geom_hbm
-    zg_col_hbm,   # zero-filled [8, cap], aliased to g_col_hbm
+    rgb_ref,     # [1, c_total, P] forward accumulated color
+    tfin_ref,    # [1, 1, P]
+    grgb_ref,    # [1, c_total, P]
+    gt_ref,      # [1, 1, P]
+    zg_hbm,      # zero-filled [W, cap], aliased to g_hbm
     # outputs (HBM)
-    g_geom_hbm,
-    g_col_hbm,
+    g_hbm,
     # scratch
-    geom_s,
-    col_s,
+    slab_s,
     gg_s,
-    gc_s,
     ggp_s,
-    gcp_s,
     sems,
     wsems,
     *,
     tile_size: int,
     tiles_x: int,
+    c_total: int,
 ):
     t = pl.program_id(0)
     offset = off_ref[t]
@@ -205,7 +197,7 @@ def _bwd_kernel(
     LT = lt_ref[:]
     P = tile_size * tile_size
 
-    grgb = grgb_ref[0]                       # [8, P]
+    grgb = grgb_ref[0]                       # [c_total, P]
     gt = gt_ref[0].reshape(P, 1)  # block (1,1,P) -> row -> column
     tf = tfin_ref[0].reshape(P, 1)
     total_dot = jnp.sum(grgb * rgb_ref[0], axis=0).reshape(P, 1)
@@ -221,14 +213,10 @@ def _bwd_kernel(
     def body(state):
         k, carry = state
         idx = pl.multiple_of(offset + k * CHUNK, CHUNK)
-        cp_g = pltpu.make_async_copy(
-            geom_hbm.at[:, pl.ds(idx, CHUNK)], geom_s, sems.at[0]
+        cp = pltpu.make_async_copy(
+            slab_hbm.at[:, pl.ds(idx, CHUNK)], slab_s, sems.at[0]
         )
-        cp_c = pltpu.make_async_copy(
-            col_hbm.at[:, pl.ds(idx, CHUNK)], col_s, sems.at[1]
-        )
-        cp_g.start()
-        cp_c.start()
+        cp.start()
         # Only a tile's FIRST window can be shared with earlier tiles
         # (window k>=1 starts at base + k*128 > previous tile's end), so
         # only k == 0 needs read-modify-write accumulation; interior
@@ -238,36 +226,28 @@ def _bwd_kernel(
 
         @pl.when(first)
         def _():
-            rd_g = pltpu.make_async_copy(
-                g_geom_hbm.at[:, pl.ds(idx, CHUNK)], ggp_s, sems.at[2]
+            rd = pltpu.make_async_copy(
+                g_hbm.at[:, pl.ds(idx, CHUNK)], ggp_s, sems.at[1]
             )
-            rd_c = pltpu.make_async_copy(
-                g_col_hbm.at[:, pl.ds(idx, CHUNK)], gcp_s, sems.at[3]
-            )
-            rd_g.start()
-            rd_c.start()
-            rd_g.wait()
-            rd_c.wait()
+            rd.start()
+            rd.wait()
 
-        cp_g.wait()
-        cp_c.wait()
-        g_geom, g_col, carry = cm.backward_chunk(
-            carry, geom_s[:], col_s[:], ox, oy, grgb, gt, tf, total_dot, F, LT,
+        cp.wait()
+        g_slab, carry = cm.backward_chunk(
+            carry, slab_s[0: cm.NUM_GEOM + c_total], ox, oy, grgb, gt, tf,
+            total_dot, F, LT,
             bounds=(head - k * CHUNK, head + count - k * CHUNK),
         )
-        firstf = first.astype(g_geom.dtype)
-        gg_s[:] = g_geom + firstf * ggp_s[:]
-        gc_s[:] = g_col + firstf * gcp_s[:]
-        wr_g = pltpu.make_async_copy(
-            gg_s, g_geom_hbm.at[:, pl.ds(idx, CHUNK)], wsems.at[0]
+        live_w = cm.NUM_GEOM + c_total
+        firstf = first.astype(g_slab.dtype)
+        gg_s[0:live_w] = g_slab + firstf * ggp_s[0:live_w]
+        if gg_s.shape[0] > live_w:
+            gg_s[live_w:] = jnp.zeros_like(gg_s[live_w:])
+        wr = pltpu.make_async_copy(
+            gg_s, g_hbm.at[:, pl.ds(idx, CHUNK)], wsems.at[0]
         )
-        wr_c = pltpu.make_async_copy(
-            gc_s, g_col_hbm.at[:, pl.ds(idx, CHUNK)], wsems.at[1]
-        )
-        wr_g.start()
-        wr_c.start()
-        wr_g.wait()
-        wr_c.wait()
+        wr.start()
+        wr.wait()
         return k + 1, carry
 
     init = (
@@ -281,8 +261,7 @@ def _bwd_kernel(
 
 
 def blend_backward_pallas(
-    geom_t: jax.Array,
-    col_t: jax.Array,
+    slab_t: jax.Array,
     tile_offsets: jax.Array,
     tile_heads: jax.Array,
     tile_counts: jax.Array,
@@ -294,61 +273,56 @@ def blend_backward_pallas(
     *,
     tile_size: int,
     tiles_x: int,
+    c_total: int,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """Returns per-intersection (g_geom_t [8, cap], g_col_t [8, cap]).
+) -> jax.Array:
+    """Returns per-intersection g_slab_t [W, cap] (pad rows zero).
 
-    Output buffers are zero-initialized (aliased zero inputs), so slack
+    Output buffer is zero-initialized (aliased zero input), so slack
     capacity and early-exited chunk ranges hold exact zeros.
     """
     T = tile_offsets.shape[0]
     P = tile_size * tile_size
-    cap = geom_t.shape[1]
+    W, cap = slab_t.shape
+    ct = c_total
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((P, NUM_GEOM), lambda t, *_: (0, 0)),
+            pl.BlockSpec((P, cm.NUM_GEOM), lambda t, *_: (0, 0)),
             pl.BlockSpec((CHUNK, CHUNK), lambda t, *_: (0, 0)),
-            pl.BlockSpec((1, NUM_CH, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, ct, P), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, NUM_CH, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, ct, P), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NUM_GEOM, CHUNK), jnp.float32),
-            pltpu.VMEM((NUM_CH, CHUNK), jnp.float32),
-            pltpu.VMEM((NUM_GEOM, CHUNK), jnp.float32),
-            pltpu.VMEM((NUM_CH, CHUNK), jnp.float32),
-            pltpu.VMEM((NUM_GEOM, CHUNK), jnp.float32),
-            pltpu.VMEM((NUM_CH, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((W, CHUNK), jnp.float32),
+            pltpu.VMEM((W, CHUNK), jnp.float32),
+            pltpu.VMEM((W, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
     )
-    kernel = functools.partial(_bwd_kernel, tile_size=tile_size, tiles_x=tiles_x)
-    return pl.pallas_call(
+    kernel = functools.partial(
+        _bwd_kernel, tile_size=tile_size, tiles_x=tiles_x, c_total=ct
+    )
+    (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((NUM_GEOM, cap), jnp.float32),
-            jax.ShapeDtypeStruct((NUM_CH, cap), jnp.float32),
-        ],
-        # zero-filled inputs donate their buffers to outputs 0/1
+        out_shape=[jax.ShapeDtypeStruct((W, cap), jnp.float32)],
+        # zero-filled input donates its buffer to output 0
         # (indices count ALL operands, including the 4 scalar-prefetch args)
-        input_output_aliases={12: 0, 13: 1},
+        input_output_aliases={11: 0},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            # sequential ascending grid: the spill-lane overwrite
-            # protocol at unaligned tile boundaries depends on it
+            # sequential ascending grid: the boundary-window RMW protocol
+            # depends on it
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
@@ -357,37 +331,41 @@ def blend_backward_pallas(
         tile_heads,
         tile_counts,
         tile_nchunks,
-        geom_t,
-        col_t,
+        slab_t,
         cm.pixel_features(tile_size),
         cm.tri_inclusive(CHUNK),
         rgb_tiles,
         t_final[:, None, :],
         g_rgb,
         g_t[:, None, :],
-        jnp.zeros((NUM_GEOM, cap), jnp.float32),
-        jnp.zeros((NUM_CH, cap), jnp.float32),
+        jnp.zeros((W, cap), jnp.float32),
     )
+    return out
 
 
 def _transpose_kernel(in_ref, out_ref):
-    out_ref[:] = in_ref[:].T
+    w = in_ref.shape[1]
+    out_ref[0:w] = in_ref[:].T
+    if out_ref.shape[0] > w:
+        out_ref[w:] = jnp.zeros_like(out_ref[w:])
 
 
 def rows_to_attr_major(rows: jax.Array, blk: int = 512) -> jax.Array:
-    """[cap, W] -> [W, cap] transpose as a tiled Pallas kernel.
+    """[cap, W] -> [round_up(W, 8), cap] transpose as a tiled Pallas kernel
+    (pad rows are zeros — Mosaic DMA slices need 8-aligned sublane dims).
 
     XLA's transpose of a big gather output runs ~100x off memory
     bandwidth on TPU; a blocked VMEM transpose is ~free.
     """
     cap, w = rows.shape
+    w_pad = ((w + 7) // 8) * 8
     assert cap % blk == 0, (cap, blk)
     return pl.pallas_call(
         _transpose_kernel,
         grid=(cap // blk,),
         in_specs=[pl.BlockSpec((blk, w), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((w, blk), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((w, cap), rows.dtype),
+        out_specs=pl.BlockSpec((w_pad, blk), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((w_pad, cap), rows.dtype),
     )(rows)
 
 

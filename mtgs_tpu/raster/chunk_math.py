@@ -45,19 +45,22 @@ import jax
 import jax.numpy as jnp
 
 CHUNK = 128          # gaussian intersections per chunk (= one lane tile)
-NUM_GEOM = 8         # packed geometry rows: mx, my, cA, cB, cC, opac, 0, 0
-NUM_CH = 8           # packed color rows: up to 7 channels + depth
+NUM_GEOM = 6         # packed geometry rows: mx, my, cA, cB, cC, opac
+MAX_CH = 8           # colors per gaussian: up to 7 channels + depth
+# One intersection slab row layout: [geom (6) | colors (c_total)] — the
+# gathers, DMAs and gradient buffers are all sized 6 + c_total instead of
+# a fixed 16, and geometry+color travel in ONE slab (one DMA per chunk).
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.999
 LOG_T_EPS = -9.210340371976182  # log(1e-4)
 
 
 class BlendCarry(NamedTuple):
-    """Per-pixel state carried across a tile's chunks (all [PIX, 1] / [8, PIX])."""
+    """Per-pixel state carried across a tile's chunks."""
 
     log_t_all: jax.Array   # cumulative log-T over ALL alpha-passing gaussians
     log_t_out: jax.Array   # cumulative log-T over composited gaussians only
-    rgb: jax.Array         # [NUM_CH, PIX] accumulated premultiplied color
+    rgb: jax.Array         # [c_total, PIX] accumulated premultiplied color
 
 
 class BwdCarry(NamedTuple):
@@ -73,15 +76,12 @@ def _pixel_features_np(tile_size: int):
     p = np.arange(P)
     x = (p % tile_size).astype(np.float32) + 0.5  # pixel centers, tile-local
     y = (p // tile_size).astype(np.float32) + 0.5
-    F = np.stack(
-        [x * x, y * y, x * y, x, y, np.ones_like(x), np.zeros_like(x), np.zeros_like(x)],
-        axis=-1,
-    )
-    return F  # [P, 8]
+    F = np.stack([x * x, y * y, x * y, x, y, np.ones_like(x)], axis=-1)
+    return F  # [P, 6]
 
 
 def pixel_features(tile_size: int) -> jax.Array:
-    """Constant [PIX, 8] tile-local pixel monomials [x², y², xy, x, y, 1, 0, 0]."""
+    """Constant [PIX, 6] tile-local pixel monomials [x², y², xy, x, y, 1]."""
     return jnp.asarray(_pixel_features_np(tile_size))
 
 
@@ -97,12 +97,12 @@ def tri_inclusive(n: int = CHUNK) -> jax.Array:
     return jnp.asarray(_tri_incl_np(n))
 
 
-def init_carry(tile_size: int, dtype=jnp.float32) -> BlendCarry:
+def init_carry(tile_size: int, c_total: int, dtype=jnp.float32) -> BlendCarry:
     P = tile_size * tile_size
     return BlendCarry(
         log_t_all=jnp.zeros((P, 1), dtype),
         log_t_out=jnp.zeros((P, 1), dtype),
-        rgb=jnp.zeros((NUM_CH, P), dtype),
+        rgb=jnp.zeros((c_total, P), dtype),
     )
 
 
@@ -110,9 +110,9 @@ def _chunk_common(geom, origin_x, origin_y, F, LT, log_t_all, bounds=None):
     """Shared fwd/bwd per-chunk quantities.
 
     Args:
-        geom: [8, CHUNK] packed rows (mx, my, cA, cB, cC, opac, _, _).
+        geom: [6, CHUNK] packed rows (mx, my, cA, cB, cC, opac).
         origin_x, origin_y: scalar pixel coords of the tile's corner.
-        F: [PIX, 8] pixel features; LT: [CHUNK, CHUNK] inclusive-triangular.
+        F: [PIX, 6] pixel features; LT: [CHUNK, CHUNK] inclusive-triangular.
         log_t_all: [PIX, 1] carry.
         bounds: optional (lo, hi) scalars — live lanes of this chunk are
             lane in [lo, hi); the rest belong to ADJACENT tiles' ranges
@@ -128,7 +128,6 @@ def _chunk_common(geom, origin_x, origin_y, F, LT, log_t_all, bounds=None):
     cC = geom[4:5, :]
     opac = geom[5:6, :]
 
-    zeros = jnp.zeros_like(cA)
     Q = jnp.concatenate(
         [
             0.5 * cA,
@@ -137,11 +136,9 @@ def _chunk_common(geom, origin_x, origin_y, F, LT, log_t_all, bounds=None):
             -(cA * mxl + cB * myl),
             -(cC * myl + cB * mxl),
             0.5 * (cA * mxl * mxl + cC * myl * myl) + cB * mxl * myl,
-            zeros,
-            zeros,
         ],
         axis=0,
-    )  # [8, CHUNK]
+    )  # [6, CHUNK]
 
     S = jax.lax.dot_general(
         F, Q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -177,8 +174,7 @@ def _chunk_common(geom, origin_x, origin_y, F, LT, log_t_all, bounds=None):
 
 def forward_chunk(
     carry: BlendCarry,
-    geom: jax.Array,
-    col: jax.Array,
+    slab: jax.Array,   # [6 + c_total, CHUNK] = [geom | colors]
     origin_x,
     origin_y,
     F: jax.Array,
@@ -186,6 +182,7 @@ def forward_chunk(
     bounds=None,
 ) -> BlendCarry:
     """Blend one chunk of CHUNK gaussians into the tile accumulators."""
+    geom, col = slab[:NUM_GEOM], slab[NUM_GEOM:]
     c = _chunk_common(geom, origin_x, origin_y, F, LT, carry.log_t_all, bounds)
     # rgb[ch, p] += sum_i col[ch, i] * w[p, i]
     rgb = carry.rgb + jax.lax.dot_general(
@@ -198,11 +195,10 @@ def forward_chunk(
 
 def backward_chunk(
     carry: BwdCarry,
-    geom: jax.Array,
-    col: jax.Array,
+    slab: jax.Array,       # [6 + c_total, CHUNK] = [geom | colors]
     origin_x,
     origin_y,
-    g_rgb: jax.Array,      # [NUM_CH, PIX] cotangent of accumulated color
+    g_rgb: jax.Array,      # [c_total, PIX] cotangent of accumulated color
     g_t: jax.Array,        # [PIX, 1] cotangent of the T_final output
     t_final: jax.Array,    # [PIX, 1] forward T_final
     total_dot: jax.Array,  # [PIX, 1] sum_ch g_rgb * rgb_total
@@ -213,10 +209,11 @@ def backward_chunk(
     """Replay one chunk front-to-back; return per-chunk gradients + carry.
 
     Returns:
-        (g_geom [8, CHUNK], g_col [8, CHUNK], new_carry)
-        g_geom rows: (g_mx, g_my, g_cA, g_cB, g_cC, g_opac, 0, 0).
+        (g_slab [6 + c_total, CHUNK], new_carry) — g_slab rows are
+        (g_mx, g_my, g_cA, g_cB, g_cC, g_opac, g_colors...).
         Masked (bounds) lanes produce exact-zero gradients.
     """
+    geom, col = slab[:NUM_GEOM], slab[NUM_GEOM:]
     c = _chunk_common(geom, origin_x, origin_y, F, LT, carry.log_t_all, bounds)
     alpha, mask, T, w = c["alpha"], c["mask"], c["T"], c["w"]
 
@@ -243,7 +240,7 @@ def backward_chunk(
     # Moments M[k, i] = sum_p F[p, k] * g_sigma[p, i]  (MXU)
     M = jax.lax.dot_general(
         F, g_sigma, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [8, CHUNK]
+    )  # [6, CHUNK]
     m_xx, m_yy, m_xy = M[0:1], M[1:2], M[2:3]
     m_x, m_y, m_0 = M[3:4], M[4:5], M[5:6]
     mxl, myl = c["mxl"], c["myl"]
@@ -257,18 +254,16 @@ def backward_chunk(
     g_mx = -(cA * dx_sum + cB * dy_sum)
     g_my = -(cC * dy_sum + cB * dx_sum)
 
-    zeros = jnp.zeros_like(g_mx)
-    g_geom = jnp.concatenate(
-        [g_mx, g_my, g_cA, g_cB, g_cC, g_opac_col[None, :], zeros, zeros], axis=0
-    )  # [8, CHUNK]
-
     # g_col[ch, i] = sum_p g_rgb[ch, p] * w[p, i]
     g_col = jax.lax.dot_general(
         g_rgb, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
+    g_slab = jnp.concatenate(
+        [g_mx, g_my, g_cA, g_cB, g_cC, g_opac_col[None, :], g_col], axis=0
+    )  # [6 + c_total, CHUNK]
 
     new_carry = BwdCarry(
         log_t_all=carry.log_t_all + jnp.sum(c["L"], axis=1, keepdims=True),
         wg_cum=carry.wg_cum + jnp.sum(wg, axis=1, keepdims=True),
     )
-    return g_geom, g_col, new_carry
+    return g_slab, new_carry

@@ -33,7 +33,7 @@ from mtgs_tpu.raster import binning
 from mtgs_tpu.raster.blend_pallas import blend_backward_pallas, blend_forward_pallas
 from mtgs_tpu.raster.blend_reference import blend_reference
 from mtgs_tpu.raster.blend_xla import blend_backward_xla, blend_forward_xla
-from mtgs_tpu.raster.chunk_math import NUM_CH, NUM_GEOM
+from mtgs_tpu.raster.chunk_math import MAX_CH, NUM_GEOM
 from mtgs_tpu.raster.projection import project_gaussians
 
 
@@ -74,6 +74,7 @@ class _BlendStatics(NamedTuple):
     tiles_x: int
     backend: str
     interpret: bool
+    c_total: int
 
 
 def _f0(a):
@@ -81,50 +82,52 @@ def _f0(a):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _blend(statics, geom_t, col_t, tile_offsets, tile_heads, tile_counts, tile_nchunks):
+def _blend(statics, slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks):
     out, _ = _blend_fwd(
-        statics, geom_t, col_t, tile_offsets, tile_heads, tile_counts, tile_nchunks
+        statics, slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks
     )
     return out
 
 
-def _blend_fwd(statics, geom_t, col_t, tile_offsets, tile_heads, tile_counts, tile_nchunks):
+def _blend_fwd(statics, slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks):
     if statics.backend == "pallas":
         rgb, tfin = blend_forward_pallas(
-            geom_t, col_t, tile_offsets, tile_heads, tile_counts, tile_nchunks,
+            slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks,
             tile_size=statics.tile_size, tiles_x=statics.tiles_x,
-            interpret=statics.interpret,
+            c_total=statics.c_total, interpret=statics.interpret,
         )
     else:
         rgb, tfin = blend_forward_xla(
-            geom_t, col_t, tile_offsets, tile_heads, tile_counts, tile_nchunks,
+            slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks,
             tile_size=statics.tile_size, tiles_x=statics.tiles_x,
+            c_total=statics.c_total,
         )
-    res = (geom_t, col_t, tile_offsets, tile_heads, tile_counts, tile_nchunks, rgb, tfin)
+    res = (slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks, rgb, tfin)
     return (rgb, tfin), res
 
 
 def _blend_bwd(statics, res, cot):
-    geom_t, col_t, tile_offsets, tile_heads, tile_counts, tile_nchunks, rgb, tfin = res
+    slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks, rgb, tfin = res
     g_rgb, g_t = cot
     if statics.backend == "pallas":
-        g_geom_t, g_col_t = blend_backward_pallas(
-            geom_t, col_t, tile_offsets, tile_heads, tile_counts, tile_nchunks,
+        g_slab_t = blend_backward_pallas(
+            slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks,
             rgb, tfin, g_rgb, g_t,
             tile_size=statics.tile_size, tiles_x=statics.tiles_x,
-            interpret=statics.interpret,
+            c_total=statics.c_total, interpret=statics.interpret,
         )
     else:
-        g_geom_t, g_col_t = blend_backward_xla(
-            geom_t, col_t, tile_offsets, tile_heads, tile_counts, tile_nchunks,
+        g_slab_t = blend_backward_xla(
+            slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks,
             rgb, tfin, g_rgb, g_t,
             tile_size=statics.tile_size, tiles_x=statics.tiles_x,
+            c_total=statics.c_total,
         )
     # Slack capacity regions of both backends' outputs are exact zeros
     # (aliased zero-init in Pallas, zeros+scatter in XLA), so the
     # downstream sort-based reduction needs no masking.
     return (
-        g_geom_t, g_col_t,
+        g_slab_t,
         _f0(tile_offsets), _f0(tile_heads), _f0(tile_counts), _f0(tile_nchunks),
     )
 
@@ -151,40 +154,38 @@ class _GatherStatics(NamedTuple):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_intersections(statics, geom_n, col_n, binned, sink):
-    out, _ = _gather_fwd(statics, geom_n, col_n, binned, sink)
+def _gather_intersections(statics, table, binned, sink):
+    out, _ = _gather_fwd(statics, table, binned, sink)
     return out
 
 
-def _gather_fwd(statics, geom_n, col_n, binned, sink):
-    n = geom_n.shape[0]
-    # ONE 16-wide gather table (geom|col) — random-index gathers are the
-    # TPU bottleneck; one pass over the indices instead of two.
-    table = jnp.concatenate([geom_n, col_n], axis=-1)
+def _gather_fwd(statics, table, binned, sink):
+    n = table.shape[0]
+    # ONE (6 + c_total)-wide gather table (geom|col) — random-index
+    # gathers are the TPU bottleneck; one pass over the indices, no
+    # structurally-zero columns.
     table_pad = jnp.concatenate(
-        [table[binned.perm], jnp.zeros((1, NUM_GEOM + NUM_CH), table.dtype)]
+        [table[binned.perm], jnp.zeros((1, table.shape[1]), table.dtype)]
     )
     rows = table_pad[binned.gidx]
     if jax.default_backend() == "tpu":
         from mtgs_tpu.raster.blend_pallas import rows_to_attr_major
 
-        both = rows_to_attr_major(rows)  # [16, cap] via Pallas (XLA's own
-        # transpose of gather outputs costs ~40ms at this size)
+        slab_t = rows_to_attr_major(rows)  # [W8, cap] via Pallas (XLA's own
+        # transpose of gather outputs costs ~40ms at this size); rows are
+        # zero-padded to a multiple of 8 for DMA tiling.
     else:
-        both = rows.T
-    geom_t = both[:NUM_GEOM]
-    col_t = both[NUM_GEOM:]
-    return (geom_t, col_t), (binned, n)
+        w = rows.shape[1]
+        w_pad = ((w + 7) // 8) * 8
+        slab_t = jnp.pad(rows, ((0, 0), (0, w_pad - w))).T
+    return slab_t, (binned, n)
 
 
 def _gather_bwd(statics, res, cot):
     binned, n = res
-    g_geom_t, g_col_t = cot  # [8, cap] attr-major, zero on dead slots
+    g_slab_t = cot  # [W, cap] attr-major, zero on dead slots
     ct = statics.c_total
-    # Only the live rows carry gradient: geometry rows 0..5
-    # (mx, my, cA, cB, cC, opac) and the first c_total color rows — the
-    # rest are structural zeros, so the sort need not move them.
-    rows = [g_geom_t[i] for i in range(6)] + [g_col_t[i] for i in range(ct)]
+    rows = [g_slab_t[i] for i in range(NUM_GEOM + ct)]
     srt = jax.lax.sort((binned.gidx, *rows), num_keys=1, is_stable=False)
     s = srt[1:]
     # [cap, 6+ct+2]; the last two columns accumulate absgrad = sum of
@@ -204,13 +205,9 @@ def _gather_bwd(statics, res, cot):
     G = cs0[bounds]
     seg = (G[1:] - G[:-1])[binned.inv_perm]  # [N, 6+ct+2] input order
 
-    zc = jnp.zeros((n, NUM_GEOM - 6), cols.dtype)
-    g_geom_n = jnp.concatenate([seg[:, :6], zc], axis=-1)
-    g_col_n = jnp.concatenate(
-        [seg[:, 6:6 + ct], jnp.zeros((n, NUM_CH - ct), cols.dtype)], axis=-1
-    )
-    absgrad = seg[:, 6 + ct:]
-    return (g_geom_n, g_col_n, jax.tree.map(_f0, binned), absgrad)
+    g_table = seg[:, : NUM_GEOM + ct]
+    absgrad = seg[:, NUM_GEOM + ct:]
+    return (g_table, jax.tree.map(_f0, binned), absgrad)
 
 
 _gather_intersections.defvjp(_gather_fwd, _gather_bwd)
@@ -255,10 +252,10 @@ def rasterize(
     N = means.shape[0]
     C = colors.shape[-1]
     if config.with_depth:
-        if C + 1 > NUM_CH:
-            raise ValueError(f"too many channels: {C}+depth > {NUM_CH}")
-    elif C > NUM_CH:
-        raise ValueError(f"too many channels: {C} > {NUM_CH}")
+        if C + 1 > MAX_CH:
+            raise ValueError(f"too many channels: {C}+depth > {MAX_CH}")
+    elif C > MAX_CH:
+        raise ValueError(f"too many channels: {C} > {MAX_CH}")
 
     proj = project_gaussians(
         means, quats, scales, viewmat, K,
@@ -308,37 +305,28 @@ def rasterize(
     # Pack per-gaussian rows; the gather to intersection order has a
     # custom scatter-free VJP that also yields the absgrad densify signal
     # (as the cotangent of `absgrad_sink`).
-    zeros_n = jnp.zeros((N,), means.dtype)
-    geom_n = jnp.stack(
-        [means2d[:, 0], means2d[:, 1],
-         proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
-         op_eff, zeros_n, zeros_n],
-        axis=-1,
-    )  # [N, 8]
-    col_n = jnp.concatenate(
-        [cols, jnp.zeros((N, NUM_CH - c_total), means.dtype)], axis=-1
-    )  # [N, 8]
+    table = jnp.concatenate(
+        [means2d, proj.conics, op_eff[:, None], cols], axis=-1
+    )  # [N, 6 + c_total]
     gather_statics = _GatherStatics(
         c_total=c_total, max_intersections=config.max_intersections
     )
-    geom_t, col_t = _gather_intersections(
-        gather_statics, geom_n, col_n, binned, absgrad_sink
-    )
+    slab_t = _gather_intersections(gather_statics, table, binned, absgrad_sink)
 
     statics = _BlendStatics(
         tile_size=config.tile_size, tiles_x=config.tiles_x,
-        backend=backend, interpret=config.interpret,
+        backend=backend, interpret=config.interpret, c_total=c_total,
     )
     rgb_tiles, t_final = _blend(
-        statics, geom_t, col_t,
+        statics, slab_t,
         binned.tile_offsets, binned.tile_heads,
         binned.tile_counts, binned.tile_nchunks,
     )
 
     ts = config.tile_size
-    img = rgb_tiles.reshape(config.tiles_y, config.tiles_x, NUM_CH, ts, ts)
+    img = rgb_tiles.reshape(config.tiles_y, config.tiles_x, c_total, ts, ts)
     img = img.transpose(0, 3, 1, 4, 2).reshape(
-        config.tiles_y * ts, config.tiles_x * ts, NUM_CH
+        config.tiles_y * ts, config.tiles_x * ts, c_total
     )[: config.height, : config.width, :c_total]
     t_img = t_final.reshape(config.tiles_y, config.tiles_x, ts, ts)
     t_img = t_img.transpose(0, 2, 1, 3).reshape(
