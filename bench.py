@@ -87,6 +87,16 @@ def main():
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
     params = (means, quats, scales, opac, colors)
 
+    @jax.jit
+    def bench_step(p):
+        # Step + no-op parameter update (lr small enough to be a
+        # numerical no-op but not DCE-able) in ONE dispatch: chaining
+        # steps through the updated params serializes compute while
+        # pipelining submission, so one final block covers all steps —
+        # no per-step host round-trip over the device tunnel.
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        return jax.tree.map(lambda x, g: x - 1e-30 * g, p, grads)
+
     # report intersection load once
     _, _, info = jax.jit(lambda p: rasterize(*p, viewmat, K, cfg))(params)
     n_isect = int(info["n_intersections"])
@@ -97,16 +107,14 @@ def main():
               file=sys.stderr)
 
     # warmup (compile)
-    out = grad_fn(params)
-    jax.block_until_ready(out)
+    jax.block_until_ready(bench_step(params))
 
     iters = 20
     t0 = time.perf_counter()
+    p = params
     for _ in range(iters):
-        out = grad_fn(params)
-        # force full materialization every iteration (remote-execution
-        # dispatch can otherwise pipeline past block_until_ready)
-        _ = float(out[1][0][0, 0])
+        p = bench_step(p)
+    jax.block_until_ready(p)
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_s = WIDTH * HEIGHT / dt

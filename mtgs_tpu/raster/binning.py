@@ -124,33 +124,41 @@ def bin_gaussians(
     # One bit-packed (tmin_x | tmin_y | span_x) word per gaussian.
     packed_in = tmin_x | (tmin_y << 11) | (span_x << 22)
 
-    # ---- 2. global depth sort + packed span gather -------------------
+    # ---- 2. global depth sort (span words ride as sort payload — a
+    # payload operand is far cheaper than a separate [N] permutation
+    # gather afterwards) ------------------------------------------------
     depth_key = jnp.where(valid, depths, jnp.inf)
-    _, perm = jax.lax.sort(
-        (depth_key, jnp.arange(N, dtype=jnp.int32)), num_keys=1, is_stable=True
+    _, perm, packed, counts = jax.lax.sort(
+        (depth_key, jnp.arange(N, dtype=jnp.int32), packed_in, counts_in),
+        num_keys=1, is_stable=True,
     )
-    pc = jnp.stack([packed_in, counts_in], axis=-1)[perm]  # [N, 2]
-    packed = pc[:, 0]
-    counts = pc[:, 1]
     offsets = jnp.cumsum(counts) - counts  # exclusive
     total = offsets[-1] + counts[-1] if N > 0 else jnp.zeros((), jnp.int32)
 
     slot = jnp.arange(I, dtype=jnp.int32)
-    # Per-pair segment id/offset via scatter+cumsum/cummax instead of
-    # jnp.repeat (which lowers to an I-from-N random gather — the
-    # dominant cost class on TPU). The +1-indicator cumsum gives the
-    # segment index, skipping empty gaussians via duplicate increments.
-    zeros_i = jnp.zeros((I,), jnp.int32)
+    # Per-pair segment id/span via ONE scatter + cumsum/cummax instead of
+    # jnp.repeat or an I-from-N random gather (the dominant cost class on
+    # TPU — gathers/scatters price per ROW, so the span word rides the
+    # indicator scatter as a second column rather than being gathered in
+    # a separate pass).
+    #   col 0: +1 indicator  -> cumsum-1 = segment index (src)
+    #   col 1: packed-word delta -> cumsum = packed[src] (telescoping;
+    #          empty gaussians' deltas collapse onto the same slot)
     safe_off = jnp.minimum(offsets, I)  # == I drops (truncated tail)
+    pk_delta = packed - jnp.concatenate([packed[:1] * 0, packed[:-1]])
+    zeros_i = jnp.zeros((I,), jnp.int32)
+    # Two 1-column scatters: a single [I, 2] scatter picks a (2, 128)
+    # minor-dim layout that runs ~3x slower than two flat ones.
     ind = zeros_i.at[safe_off].add(1, mode="drop")
+    sc_pk = zeros_i.at[safe_off].add(pk_delta, mode="drop")
     src = jnp.cumsum(ind) - 1
+    pk = jnp.cumsum(sc_pk)
     # Segment-start offsets: the scatter above writes at index
     # offsets[g] — the VALUE equals the INDEX — so the step function is
     # a running max of the indicator positions themselves (no second
     # scatter needed).
     off_s = jax.lax.cummax(jnp.where(ind > 0, slot, 0))
     # construction guarantees local in [0, counts) for every slot < total.
-    pk = packed[jnp.clip(src, 0, N - 1)]
     local = slot - off_s
     sx = jnp.maximum(pk >> 22, 1)
     lx = local % sx
