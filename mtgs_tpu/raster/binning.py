@@ -126,8 +126,13 @@ def bin_gaussians(
 
     # ---- 2. global depth sort (span words ride as sort payload — a
     # payload operand is far cheaper than a separate [N] permutation
-    # gather afterwards) ------------------------------------------------
-    depth_key = jnp.where(valid, depths, jnp.inf)
+    # gather afterwards). Zero-pair gaussians (culled, off-screen, or
+    # zero-span) sort to the TAIL: every sorted index < n_live then owns
+    # >= 1 pair, so sorted gaussian ids are PAIR-DENSE — any K
+    # consecutive tile-sorted-then-gidx-sorted rows span < K distinct
+    # consecutive ids, which the windowed segment-sum kernel
+    # (segment_sum.py) relies on. -------------------------------------
+    depth_key = jnp.where(counts_in > 0, depths, jnp.inf)
     _, perm, packed, counts = jax.lax.sort(
         (depth_key, jnp.arange(N, dtype=jnp.int32), packed_in, counts_in),
         num_keys=1, is_stable=True,

@@ -23,6 +23,7 @@ statistics in the same backward pass as the parameter gradients.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -185,28 +186,48 @@ def _gather_bwd(statics, res, cot):
     binned, n = res
     g_slab_t = cot  # [W, cap] attr-major, zero on dead slots
     ct = statics.c_total
-    rows = [g_slab_t[i] for i in range(NUM_GEOM + ct)]
+    nw = NUM_GEOM + ct
+    rows = [g_slab_t[i] for i in range(nw)]
     srt = jax.lax.sort((binned.gidx, *rows), num_keys=1, is_stable=False)
     s = srt[1:]
-    # [cap, 6+ct+2]; the last two columns accumulate absgrad = sum of
-    # |per-tile d means2d| (gsplat's densify signal)
-    cols = jnp.stack([*s, jnp.abs(s[0]), jnp.abs(s[1])], axis=-1)
 
-    # Segment reduce: after the sort, sorted-gaussian g's contributions
-    # occupy [min(pair_offsets[g], L), min(pair_offsets[g+1], L)) where
-    # L = min(total, max_intersections) is the live-slot count; dead
-    # slots (gidx == N) sort last and hold zeros.
-    cs = jnp.cumsum(cols, axis=0)
-    cs0 = jnp.concatenate([jnp.zeros((1, cols.shape[1]), cols.dtype), cs])
-    last = binned.pair_offsets[-1:] + binned.pair_counts[-1:]
-    bounds = jnp.minimum(
-        jnp.concatenate([binned.pair_offsets, last]), statics.max_intersections
-    )
-    G = cs0[bounds]
-    seg = (G[1:] - G[:-1])[binned.inv_perm]  # [N, 6+ct+2] input order
+    if jax.default_backend() == "tpu" and not os.environ.get("MTGS_NO_SEGSUM"):
+        # MXU windowed segment sum over the sorted rows (the last two
+        # rows carry absgrad = sum of |per-tile d means2d|, gsplat's
+        # densify signal) — see segment_sum.py for why this beats the
+        # cumsum + boundary-gather fallback below.
+        from mtgs_tpu.raster.blend_pallas import attr_major_to_rows
+        from mtgs_tpu.raster.segment_sum import dense_segment_sum
 
-    g_table = seg[:, : NUM_GEOM + ct]
-    absgrad = seg[:, NUM_GEOM + ct:]
+        w_pad = ((nw + 2 + 7) // 8) * 8
+        rows16 = jnp.concatenate(
+            [
+                jnp.stack([*s, jnp.abs(s[0]), jnp.abs(s[1])], axis=0),
+                jnp.zeros((w_pad - nw - 2, s[0].shape[0]), s[0].dtype),
+            ]
+        )
+        sums_t = dense_segment_sum(rows16, srt[0], n)   # [w_pad, n_out]
+        seg = attr_major_to_rows(sums_t)[binned.inv_perm]
+    else:
+        # [cap, 6+ct+2] sorted rows + absgrad columns
+        cols = jnp.stack([*s, jnp.abs(s[0]), jnp.abs(s[1])], axis=-1)
+        # Segment reduce: after the sort, sorted-gaussian g's
+        # contributions occupy [min(pair_offsets[g], L),
+        # min(pair_offsets[g+1], L)) where L = min(total,
+        # max_intersections) is the live-slot count; dead slots
+        # (gidx == N) sort last and hold zeros.
+        cs = jnp.cumsum(cols, axis=0)
+        cs0 = jnp.concatenate([jnp.zeros((1, cols.shape[1]), cols.dtype), cs])
+        last = binned.pair_offsets[-1:] + binned.pair_counts[-1:]
+        bounds = jnp.minimum(
+            jnp.concatenate([binned.pair_offsets, last]),
+            statics.max_intersections,
+        )
+        G = cs0[bounds]
+        seg = (G[1:] - G[:-1])[binned.inv_perm]  # [N, 6+ct+2] input order
+
+    g_table = seg[:, :nw]
+    absgrad = seg[:, nw: nw + 2]
     return (g_table, jax.tree.map(_f0, binned), absgrad)
 
 

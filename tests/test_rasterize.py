@@ -158,3 +158,35 @@ def test_jit_and_empty_scene():
     r0, a0, _ = f(means, quats, scales, jnp.zeros_like(opac), colors, viewmat, K)
     np.testing.assert_allclose(r0, 0.0, atol=1e-6)
     np.testing.assert_allclose(a0, 0.0, atol=1e-6)
+
+
+def test_dense_segment_sum_kernel():
+    # Windowed MXU segment sum (interpret mode) vs a numpy oracle, on a
+    # pair-dense sorted id stream like binning produces: live ids dense
+    # in a prefix, then tail slack carrying the last live id with zero
+    # rows, then the n sentinel.
+    from mtgs_tpu.raster.segment_sum import dense_segment_sum
+
+    rng = np.random.default_rng(0)
+    n, cap, w = 700, 2048, 16
+    counts = rng.integers(1, 6, size=n)
+    n_live = int(np.searchsorted(np.cumsum(counts), cap * 3 // 4)) - 1
+    gidx = np.repeat(np.arange(n_live), counts[:n_live])[: cap]
+    total = gidx.shape[0]
+    gidx = np.concatenate([
+        gidx,
+        np.full(cap - total - 256, n_live - 1),  # truncation slack
+        np.full(256, n),                         # capacity pad sentinel
+    ]).astype(np.int32)
+    rows = rng.normal(size=(w, cap)).astype(np.float32)
+    rows[:, total:] = 0.0  # dead slots hold zeros
+
+    out = dense_segment_sum(
+        jnp.asarray(rows), jnp.asarray(gidx), n, interpret=True
+    )
+    assert out.shape[1] >= n + 1 and out.shape[1] % 512 == 0
+    oracle = np.zeros((w, n + 1), np.float32)
+    np.add.at(oracle.T, gidx[:total], rows[:, :total].T)
+    np.testing.assert_allclose(np.asarray(out)[:, : n + 1], oracle,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out)[:, n + 1:], 0.0, atol=0)
