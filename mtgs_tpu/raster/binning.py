@@ -140,37 +140,49 @@ def bin_gaussians(
     offsets = jnp.cumsum(counts) - counts  # exclusive
     total = offsets[-1] + counts[-1] if N > 0 else jnp.zeros((), jnp.int32)
 
-    slot = jnp.arange(I, dtype=jnp.int32)
-    # Per-pair segment id/span via ONE scatter + cumsum/cummax instead of
-    # jnp.repeat or an I-from-N random gather (the dominant cost class on
-    # TPU — gathers/scatters price per ROW, so the span word rides the
-    # indicator scatter as a second column rather than being gathered in
-    # a separate pass).
-    #   col 0: +1 indicator  -> cumsum-1 = segment index (src)
-    #   col 1: packed-word delta -> cumsum = packed[src] (telescoping;
-    #          empty gaussians' deltas collapse onto the same slot)
-    safe_off = jnp.minimum(offsets, I)  # == I drops (truncated tail)
-    pk_delta = packed - jnp.concatenate([packed[:1] * 0, packed[:-1]])
-    zeros_i = jnp.zeros((I,), jnp.int32)
-    # Two 1-column scatters: a single [I, 2] scatter picks a (2, 128)
-    # minor-dim layout that runs ~3x slower than two flat ones.
-    ind = zeros_i.at[safe_off].add(1, mode="drop")
-    sc_pk = zeros_i.at[safe_off].add(pk_delta, mode="drop")
-    src = jnp.cumsum(ind) - 1
-    pk = jnp.cumsum(sc_pk)
-    # Segment-start offsets: the scatter above writes at index
-    # offsets[g] — the VALUE equals the INDEX — so the step function is
-    # a running max of the indicator positions themselves (no second
-    # scatter needed).
-    off_s = jax.lax.cummax(jnp.where(ind > 0, slot, 0))
-    # construction guarantees local in [0, counts) for every slot < total.
-    local = slot - off_s
-    sx = jnp.maximum(pk >> 22, 1)
-    lx = local % sx
-    ly = local // sx
-    tile = (((pk >> 11) & 0x7FF) + ly) * tiles_x + ((pk & 0x7FF) + lx)
-    pair_ok = slot < total
-    tile = jnp.where(pair_ok, tile, num_tiles)  # sentinel tile sorts last
+    offsets = offsets.astype(jnp.int32)
+    if jax.default_backend() == "tpu" and I % 512 == 0 and I < (1 << 24):
+        # Pallas windowed expand: zero scatters, zero global scans — the
+        # MXU telescopes (src, offset, span word) per 512-slot block from
+        # a consecutive offset window (see expand_pallas.py). ~6x faster
+        # than the scatter+cumsum formulation below at 1M gaussians.
+        from mtgs_tpu.raster.expand_pallas import expand_pairs
+
+        tile, src = expand_pairs(
+            offsets, packed, total, I, tiles_x=tiles_x, num_tiles=num_tiles
+        )
+    else:
+        slot = jnp.arange(I, dtype=jnp.int32)
+        # Per-pair segment id/span via ONE scatter + cumsum/cummax instead
+        # of jnp.repeat or an I-from-N random gather (the dominant cost
+        # class on TPU — gathers/scatters price per ROW, so the span word
+        # rides the indicator scatter as a second column rather than being
+        # gathered in a separate pass).
+        #   col 0: +1 indicator  -> cumsum-1 = segment index (src)
+        #   col 1: packed-word delta -> cumsum = packed[src] (telescoping;
+        #          empty gaussians' deltas collapse onto the same slot)
+        safe_off = jnp.minimum(offsets, I)  # == I drops (truncated tail)
+        pk_delta = packed - jnp.concatenate([packed[:1] * 0, packed[:-1]])
+        zeros_i = jnp.zeros((I,), jnp.int32)
+        # Two 1-column scatters: a single [I, 2] scatter picks a (2, 128)
+        # minor-dim layout that runs ~3x slower than two flat ones.
+        ind = zeros_i.at[safe_off].add(1, mode="drop")
+        sc_pk = zeros_i.at[safe_off].add(pk_delta, mode="drop")
+        src = jnp.cumsum(ind) - 1
+        pk = jnp.cumsum(sc_pk)
+        # Segment-start offsets: the scatter above writes at index
+        # offsets[g] — the VALUE equals the INDEX — so the step function
+        # is a running max of the indicator positions themselves (no
+        # second scatter needed).
+        off_s = jax.lax.cummax(jnp.where(ind > 0, slot, 0))
+        # construction guarantees local in [0, counts) for slots < total.
+        local = slot - off_s
+        sx = jnp.maximum(pk >> 22, 1)
+        lx = local % sx
+        ly = local // sx
+        tile = (((pk >> 11) & 0x7FF) + ly) * tiles_x + ((pk & 0x7FF) + lx)
+        pair_ok = slot < total
+        tile = jnp.where(pair_ok, tile, num_tiles)  # sentinel sorts last
 
     # ---- 3. stable sort by tile id (preserves depth order in-tile) ---
     tile_sorted, src_sorted = jax.lax.sort(
