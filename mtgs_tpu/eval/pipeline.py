@@ -27,7 +27,7 @@ from mtgs_tpu.train.trainer import Batch, TrainerConfig, render_view
 class EvalConfig(struct.PyTreeNode):
     color_corrected: bool = struct.field(pytree_node=False, default=True)
     lpips: bool = struct.field(pytree_node=False, default=True)
-    dinov2: bool = struct.field(pytree_node=False, default=False)
+    dinov2: bool = struct.field(pytree_node=False, default=True)
 
 
 def evaluate_scene(
@@ -70,6 +70,10 @@ def evaluate_scene(
     if eval_cfg.lpips:
         from mtgs_tpu.eval.lpips import get_lpips
         lpips_fn = get_lpips()
+    dinov2_fn = None
+    if eval_cfg.dinov2:
+        from mtgs_tpu.eval.dinov2 import get_dinov2
+        dinov2_fn = get_dinov2()
 
     rows: List[Dict[str, float]] = []
     fps = []
@@ -99,6 +103,14 @@ def evaluate_scene(
             )
             if lp is not None:
                 row["lpips"] = float(lp)
+        if dinov2_fn is not None:
+            dv = dinov2_fn(
+                np.asarray(out["rgb_appearance"]),
+                np.asarray(batch.image),
+                np.asarray(batch.mask).squeeze(),
+            )
+            if dv is not None:
+                row["dinov2_sim"] = float(dv)
         trv = int(batch.travel_index)
         rows.append({**row, **{f"trv{trv}_{k}": v for k, v in row.items()}})
 

@@ -92,3 +92,29 @@ def test_eval_pipeline_schema():
     assert trv_keys, result.keys()
     for v in result.values():
         assert np.isfinite(v) or np.isnan(v)
+
+
+def test_dinov2_patch_weights_geometry():
+    # 518-side resize + center crop + 14px patch pooling (ref mtgs/utils/dinov2.py)
+    from mtgs_tpu.eval.dinov2 import patch_weights
+
+    full = patch_weights(np.ones((100, 150), np.float32))
+    assert full.shape == (37 * 37,)
+    np.testing.assert_allclose(full, 1.0)
+    none = patch_weights(np.zeros((64, 64), np.float32))
+    np.testing.assert_allclose(none, 0.0)
+    # left-half mask on a square image: ~half the patches weighted
+    half = patch_weights(
+        np.concatenate([np.ones((64, 32)), np.zeros((64, 32))], axis=1).astype(np.float32)
+    )
+    assert 0.4 < half.mean() < 0.6
+
+
+def test_dinov2_probe_degrades_gracefully():
+    from mtgs_tpu.eval.dinov2 import get_dinov2
+
+    fn = get_dinov2()  # zero-egress container: None unless weights cached
+    if fn is not None:
+        a = np.random.default_rng(0).uniform(0, 1, (64, 96, 3)).astype(np.float32)
+        s = fn(a, a, np.ones((64, 96), np.float32))
+        assert s is not None and s > 0.99
