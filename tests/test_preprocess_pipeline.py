@@ -171,3 +171,33 @@ def test_pipeline_driver_skips_unavailable(tmp_path):
     # stages missing external deps are SKIPPED (not failed)
     assert status["video_split"].startswith("skipped")
     assert status["semantic_masks"].startswith("skipped")
+
+
+def test_preview_html_and_filter(tmp_path):
+    """Preview tool (ref nuplan_scripts/preview.py + filter_trajectory.py):
+    HTML build + selected_videos filter roundtrip via the staged store."""
+    from mtgs_tpu.preprocess.video_scene import VideoScene
+    from mtgs_tpu.tools.preview import (
+        build_preview_html, filter_trajectory, trajectory_xy)
+
+    vsd = _vsd(n_videos=3, n_frames=20)
+    xy = trajectory_xy(vsd["log-1"])
+    assert xy.shape == (20, 2) and xy[0, 1] == 10.0
+
+    out = build_preview_html(
+        vsd, tmp_path / "preview.html",
+        selected=[0, {"idx": 2, "start_frame": 5, "end_frame": 15}],
+        road_block=(-5, -5, 30, 30),
+    )
+    text = out.read_text()
+    assert "selected_videos" in text and "polyline" in text
+    assert '"n": 20' in text.replace("'", '"') or '"n": 20' in text
+
+    vs = VideoScene(tmp_path, "scene")
+    vs.root.mkdir(parents=True, exist_ok=True)
+    vs.save(_vsd(), "raw")
+    filtered = filter_trajectory(
+        vs, [0, {"idx": 2, "start_frame": 5, "end_frame": 15}])
+    assert set(filtered) == {"log-0", "log-2"}
+    assert len(filtered["log-2"]["frame_infos"]) == 10
+    assert vs.load("filtered").keys() == filtered.keys()
