@@ -383,3 +383,37 @@ def init_scene(
         deformables=None if deformables is None else deformables[1],
     )
     return params, auxs
+
+
+# ------------------------------------------------------------- scene edit
+def translate_instance(
+    params: SceneParams, instance: int, offset, *, deformable: bool = False
+) -> SceneParams:
+    """Move one rigid/deformable instance by `offset` (world frame) in
+    every frame. Functional equivalent of the reference's scene-edit
+    `translate` (`rigid_node.py:398-403`), applied to the per-frame world
+    pose instead of mutating local means + compensating the pose."""
+    field = "deformables" if deformable else "instances"
+    block = getattr(params, field)
+    if block is None:
+        raise ValueError(f"scene has no {field}")
+    off = jnp.asarray(offset, jnp.float32).reshape(3)
+    new = block.replace(trans=block.trans.at[instance].add(off))
+    return params.replace(**{field: new})
+
+
+def rotate_instance(
+    params: SceneParams, instance: int, quat, *, deformable: bool = False
+) -> SceneParams:
+    """Rotate one instance about its own center by quaternion `quat`
+    (wxyz) in every frame (ref `rigid_node.py:405-421`): the per-frame
+    pose rotation is pre-multiplied; translations are unchanged because
+    the rotation is about the instance origin."""
+    field = "deformables" if deformable else "instances"
+    block = getattr(params, field)
+    if block is None:
+        raise ValueError(f"scene has no {field}")
+    q = quat_normalize(jnp.asarray(quat, jnp.float32).reshape(4))
+    new_q = quat_mult(q[None, :], block.quats[instance])
+    new = block.replace(quats=block.quats.at[instance].set(new_q))
+    return params.replace(**{field: new})
