@@ -34,6 +34,52 @@ import numpy as np
 from mtgs_tpu.data.nuplan import chamfer_distance
 
 
+def generate_log_info_cache(
+    openscene_root: str | Path,
+    output_path: str | Path,
+    *,
+    splits: Sequence[str] = ("trainval", "test"),
+) -> int:
+    """Build the log→(trajectory, lidar-pc tokens) jsonl cache from
+    OpenScene per-log metadata pickles (ref
+    `nuplan_scripts/misc/generate_nuplan_log_info.py`): one row per log
+    with log/city/split identifiers, the lidar-pc token sequence, and the
+    2-dp-rounded 2D ego trajectory — the index that lets stage 1 find
+    road-block traversals without scanning 20 TB of nuPlan DBs.
+    Returns the number of rows written."""
+    import pickle
+
+    rows = []
+    for split in splits:
+        folder = Path(openscene_root) / "meta_datas" / split
+        if not folder.is_dir():
+            continue
+        for file in sorted(folder.iterdir()):
+            if not file.is_file():
+                continue
+            with file.open("rb") as f:
+                infos = pickle.load(f)
+            if not infos:
+                continue
+            traj = np.asarray(
+                [i["ego2global_translation"] for i in infos], np.float64
+            )[:, :2]
+            rows.append({
+                "log_name": file.name[:-4],
+                "log_token": infos[0]["log_token"],
+                "city": infos[0]["map_location"],
+                "split": split,
+                "lidar_pc_tokens": [i["token"] for i in infos],
+                "trajectory": np.round(traj, 2).tolist(),
+            })
+    output_path = Path(output_path)
+    output_path.parent.mkdir(parents=True, exist_ok=True)
+    with open(output_path, "w") as f:
+        for row in rows:
+            f.write(json.dumps(row) + "\n")
+    return len(rows)
+
+
 def iter_log_info_cache(path: str | Path) -> Iterator[dict]:
     """Yield rows of the log-info jsonl cache."""
     with open(path) as f:

@@ -201,3 +201,35 @@ def test_preview_html_and_filter(tmp_path):
     assert set(filtered) == {"log-0", "log-2"}
     assert len(filtered["log-2"]["frame_infos"]) == 10
     assert vs.load("filtered").keys() == filtered.keys()
+
+
+def test_generate_log_info_cache(tmp_path):
+    """Cache generator (ref misc/generate_nuplan_log_info.py): OpenScene
+    per-log pkls -> jsonl consumed by iter_log_info_cache."""
+    import pickle
+    from mtgs_tpu.preprocess.video_split import (
+        generate_log_info_cache, iter_log_info_cache)
+
+    meta = tmp_path / "meta_datas" / "trainval"
+    meta.mkdir(parents=True)
+    for li in range(2):
+        infos = [
+            dict(
+                token=f"t{li}_{i}",
+                log_token=f"log{li}",
+                map_location="us-ma-boston",
+                ego2global_translation=[100.0 + i + li, 200.0 + 0.123, 0.0],
+            )
+            for i in range(5)
+        ]
+        with open(meta / f"2021.05.12.log{li}.pkl", "wb") as f:
+            pickle.dump(infos, f)
+
+    out = tmp_path / "nuplan_log_infos.jsonl"
+    n = generate_log_info_cache(tmp_path, out)
+    assert n == 2
+    rows = list(iter_log_info_cache(out))
+    assert rows[0]["log_name"] == "2021.05.12.log0"
+    assert rows[0]["split"] == "trainval"
+    assert len(rows[0]["lidar_pc_tokens"]) == 5
+    assert rows[0]["trajectory"][1] == [101.0, 200.12]
