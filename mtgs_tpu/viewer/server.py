@@ -12,7 +12,12 @@ embedded single-page app with mouse orbit + WASD fly controls polls
     (`control_panel.py:395-412`);
   * low-res-while-moving / high-res-when-still render states
     (`render_state_machine.py:54-314` — here the client sends a `moving`
-    hint and the server picks the resolution ladder rung).
+    hint and the server picks the resolution ladder rung);
+  * **render panel** — keyframed camera-path editor
+    (`render_panel.py` in the reference): capture keyframes while
+    flying, set seconds/fps/fov, export the nerfstudio-style
+    `camera_path` JSON consumed by
+    `mtgs_tpu.tools.render.render_camera_path`.
 
 Run: `ViewerServer(params, aux, cfg, ...).serve(port=7007)` or
 `python -m mtgs_tpu.viewer.server --ckpt <dir>`.
@@ -43,7 +48,15 @@ select,input { background:#222; color:#ddd; border:1px solid #555; }
  travel <select id="travel"></select>
  time <input id="time" type="range" min="0" max="1" step="0.01" value="0" style="width:140px">
  <span id="fps"></span><br>
- drag: orbit | wheel: dolly | WASD+QE: fly | shift: fast
+ drag: orbit | wheel: dolly | WASD+QE: fly | shift: fast<br>
+ <b>path</b>
+ <button id="addkf">+ keyframe</button>
+ <button id="clearkf">clear</button>
+ <span id="kfn">0 kf</span>
+ sec <input id="secs" type="number" value="6" min="1" style="width:44px">
+ fps <input id="pathfps" type="number" value="30" min="1" style="width:44px">
+ fov <input id="fov" type="number" value="65" min="10" max="120" style="width:44px">
+ <button id="exportkf">export json</button>
 </div>
 <canvas id="cv"></canvas>
 <script>
@@ -120,6 +133,63 @@ window.onkeydown = e => {
   if (k=='q') cam.pos[2] -= s;
   if (k=='e') cam.pos[2] += s;
   moving = 2; dirty = true;
+};
+// ---- render panel: keyframed camera path editor ----------------------
+// Exports the nerfstudio-style camera_path JSON consumed by
+// mtgs_tpu.tools.render.render_camera_path.
+let keyframes = [];
+function c2wOf(p, yaw, pitch) {
+  const cy = Math.cos(yaw), sy = Math.sin(yaw);
+  const cp = Math.cos(pitch), sp = Math.sin(pitch);
+  const fwd = [-cp*cy, -cp*sy, -sp];
+  const right = [-sy, cy, 0];
+  const up = [ right[1]*fwd[2]-right[2]*fwd[1],
+               right[2]*fwd[0]-right[0]*fwd[2],
+               right[0]*fwd[1]-right[1]*fwd[0] ];
+  return [ right[0], up[0], -fwd[0], p[0],
+           right[1], up[1], -fwd[1], p[1],
+           right[2], up[2], -fwd[2], p[2],
+           0, 0, 0, 1 ];
+}
+document.getElementById('addkf').onclick = () => {
+  keyframes.push({pos:[...cam.pos], yaw:cam.yaw, pitch:cam.pitch});
+  document.getElementById('kfn').textContent = keyframes.length + ' kf';
+};
+document.getElementById('clearkf').onclick = () => {
+  keyframes = [];
+  document.getElementById('kfn').textContent = '0 kf';
+};
+document.getElementById('exportkf').onclick = () => {
+  if (keyframes.length < 2) { alert('need >= 2 keyframes'); return; }
+  const secs = +document.getElementById('secs').value;
+  const pfps = +document.getElementById('pathfps').value;
+  const fov = +document.getElementById('fov').value;
+  const n = Math.max(Math.round(secs * pfps), 2);
+  const frames = [];
+  for (let i = 0; i < n; i++) {
+    const u = i / (n - 1) * (keyframes.length - 1);
+    const k = Math.min(Math.floor(u), keyframes.length - 2), f = u - k;
+    const a = keyframes[k], b = keyframes[k + 1];
+    const lerp = (x, y) => x + (y - x) * f;
+    // keep yaw interpolation on the short arc
+    let dyaw = b.yaw - a.yaw;
+    dyaw -= Math.round(dyaw / (2*Math.PI)) * 2*Math.PI;
+    frames.push({
+      camera_to_world: c2wOf(
+        [lerp(a.pos[0], b.pos[0]), lerp(a.pos[1], b.pos[1]),
+         lerp(a.pos[2], b.pos[2])],
+        a.yaw + dyaw * f, lerp(a.pitch, b.pitch)),
+      fov: fov,
+    });
+  }
+  const spec = { render_width: W, render_height: H, seconds: secs,
+                 fps: pfps, camera_path: frames };
+  const blob = new Blob([JSON.stringify(spec, null, 1)],
+                        {type: 'application/json'});
+  const a2 = document.createElement('a');
+  a2.href = URL.createObjectURL(blob);
+  a2.download = 'camera_path.json';
+  a2.click();
 };
 init();
 </script></body></html>

@@ -75,3 +75,13 @@ def test_render_camera_path(tmp_path):
     img = np.asarray(Image.open(written[0]))
     assert img.shape == (32, 32, 3)
     assert img.max() > 0  # rendered something
+
+
+def test_viewer_page_has_render_panel():
+    """Viewer render panel (ref mtgs/custom_viewer/render_panel.py):
+    keyframe controls + export of the camera_path JSON schema."""
+    from mtgs_tpu.viewer.server import _PAGE
+
+    for token in ("addkf", "clearkf", "exportkf", "camera_to_world",
+                  "render_width", "camera_path", "fov"):
+        assert token in _PAGE, token
