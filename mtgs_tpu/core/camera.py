@@ -179,3 +179,59 @@ def undistort_points(
         return xy_d - d
 
     return jax.lax.fori_loop(0, iters, body, x)
+
+
+def redistort_image(
+    image: jax.Array,
+    K_raw: jax.Array,
+    dist: jax.Array,
+    K_und: jax.Array,
+    out_hw: tuple[int, int] | None = None,
+) -> jax.Array:
+    """Warp an undistorted render back onto the RAW camera geometry.
+
+    Equivalent of the reference's `invert_distortion`
+    (`mtgs/utils/camera_utils.py:340-356` in OpenDriveLab/MTGS, built on
+    cv2.initInverseRectificationMap): for every pixel of the raw grid,
+    normalize with the raw intrinsics, apply the forward distortion, and
+    bilinearly sample the undistorted image at the `K_und` projection of
+    that distorted coordinate.
+
+    Args:
+        image: [H, W, C] undistorted render.
+        K_raw: [3, 3] raw camera intrinsics.
+        dist: [>=4] OpenCV distortion coefficients.
+        K_und: [3, 3] intrinsics of the undistorted render.
+        out_hw: raw (height, width); defaults to the render's.
+    """
+    H, W = image.shape[:2]
+    oh, ow = out_hw if out_hw is not None else (H, W)
+    u = jnp.arange(ow, dtype=jnp.float32)
+    v = jnp.arange(oh, dtype=jnp.float32)
+    uu, vv = jnp.meshgrid(u, v)
+    x = (uu - K_raw[0, 2]) / K_raw[0, 0]
+    y = (vv - K_raw[1, 2]) / K_raw[1, 1]
+    xy_d = distort_opencv(jnp.stack([x, y], axis=-1), jnp.asarray(dist))
+    us = xy_d[..., 0] * K_und[0, 0] + K_und[0, 2]
+    vs = xy_d[..., 1] * K_und[1, 1] + K_und[1, 2]
+
+    # bilinear sample with zero padding outside the render
+    u0 = jnp.floor(us)
+    v0 = jnp.floor(vs)
+    fu = us - u0
+    fv = vs - v0
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+
+    def tap(vi, ui):
+        ok = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+        val = image[jnp.clip(vi, 0, H - 1), jnp.clip(ui, 0, W - 1)]
+        return jnp.where(ok[..., None], val, 0.0)
+
+    out = (
+        tap(v0i, u0i) * ((1 - fu) * (1 - fv))[..., None]
+        + tap(v0i, u0i + 1) * (fu * (1 - fv))[..., None]
+        + tap(v0i + 1, u0i) * ((1 - fu) * fv)[..., None]
+        + tap(v0i + 1, u0i + 1) * (fu * fv)[..., None]
+    )
+    return out

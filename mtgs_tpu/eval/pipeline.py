@@ -127,3 +127,92 @@ def evaluate_scene(
         with open(output_path, "w") as f:
             json.dump(result, f, indent=2)
     return result
+
+
+def export_eval_images(
+    params: SceneParams,
+    aux: SceneAux,
+    cfg: TrainerConfig,
+    eval_batches: Iterable[Batch],
+    output_path: str,
+    *,
+    mode: str = "sequential",
+    view_metas: Optional[List[Dict]] = None,
+    step: int = 10**9,
+) -> List[str]:
+    """Render eval views to disk in the reference's export layouts
+    (`_save_images`, `custom_pipeline.py:91-143`):
+
+      * ``sequential``          traversal_{t}/{cam}/{i}_rendered.jpg
+      * ``sequential_with_gt``  + {i}_gt_processed.jpg (+ raw gt symlink
+                                when the meta carries `raw_path`)
+      * ``nuplan``              {log}/{cam}/{token}.jpg re-distorted to
+                                the RAW camera geometry via
+                                `redistort_image` (needs `K_raw`/`dist`/
+                                `K_und` in the meta)
+
+    Args:
+        view_metas: per-batch dicts with optional keys travel_id,
+            cam_name, cam_idx, raw_path, rel_path, K_raw, dist, K_und,
+            raw_hw. Defaults are derived from the batch.
+    Returns the written file paths.
+    """
+    import os
+    from pathlib import Path
+
+    from PIL import Image
+
+    from mtgs_tpu.core.camera import redistort_image
+
+    out_root = Path(output_path)
+    render = jax.jit(
+        lambda p, b: render_view(
+            p, aux, cfg, b, jnp.asarray(step, jnp.int32), training=False
+        )
+    )
+    written: List[str] = []
+
+    def to_u8(x):
+        return np.asarray(jnp.clip(x, 0, 1) * 255).astype(np.uint8)
+
+    for i, batch in enumerate(eval_batches):
+        meta = (view_metas[i] if view_metas is not None else {}) or {}
+        out = render(params, batch)
+        img = to_u8(out["rgb_appearance"])
+        travel = meta.get("travel_id", int(batch.travel_index))
+        cam = meta.get("cam_name", f"cam{int(batch.cam_idx)}")
+        idx = meta.get("cam_idx", int(batch.image_idx))
+
+        if mode in ("sequential", "sequential_with_gt"):
+            p = out_root / f"traversal_{travel}" / cam / f"{idx}_rendered.jpg"
+            p.parent.mkdir(parents=True, exist_ok=True)
+            Image.fromarray(img).save(p)
+            written.append(str(p))
+            if mode == "sequential_with_gt":
+                g = p.with_name(f"{idx}_gt_processed.jpg")
+                Image.fromarray(to_u8(batch.image)).save(g)
+                written.append(str(g))
+                raw = meta.get("raw_path")
+                if raw:
+                    link = p.with_name(f"{idx}_gt.jpg")
+                    if link.is_symlink() or link.exists():
+                        os.remove(link)
+                    os.symlink(os.path.abspath(raw), link)
+                    written.append(str(link))
+        elif mode == "nuplan":
+            rel = meta.get("rel_path", f"log/{cam}/{idx}.jpg")
+            if all(k in meta for k in ("K_raw", "dist", "K_und")):
+                img = to_u8(redistort_image(
+                    jnp.asarray(img, jnp.float32) / 255.0,
+                    jnp.asarray(meta["K_raw"], jnp.float32),
+                    jnp.asarray(meta["dist"], jnp.float32),
+                    jnp.asarray(meta["K_und"], jnp.float32),
+                    tuple(meta["raw_hw"]) if "raw_hw" in meta else None,
+                ))
+            p = out_root / rel
+            p.parent.mkdir(parents=True, exist_ok=True)
+            Image.fromarray(img).save(p)
+            written.append(str(p))
+        else:
+            raise ValueError(f"unknown image_saving_mode {mode!r}")
+    return written

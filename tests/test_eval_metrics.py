@@ -118,3 +118,71 @@ def test_dinov2_probe_degrades_gracefully():
         a = np.random.default_rng(0).uniform(0, 1, (64, 96, 3)).astype(np.float32)
         s = fn(a, a, np.ones((64, 96), np.float32))
         assert s is not None and s > 0.99
+
+
+def test_redistort_identity():
+    from mtgs_tpu.core.camera import redistort_image
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (32, 40, 3)), jnp.float32)
+    K = jnp.asarray([[30.0, 0, 20], [0, 30.0, 16], [0, 0, 1]], jnp.float32)
+    out = redistort_image(img, K, jnp.zeros(4), K)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_redistort_matches_manual_sample():
+    from mtgs_tpu.core.camera import distort_opencv, redistort_image
+
+    # smooth ramp image so bilinear sampling is exact for affine fields
+    H, W = 24, 32
+    u = np.arange(W, dtype=np.float32)[None, :].repeat(H, 0)
+    v = np.arange(H, dtype=np.float32)[:, None].repeat(W, 1)
+    img = jnp.asarray(np.stack([u / W, v / H, 0 * u], -1))
+    K_raw = jnp.asarray([[25.0, 0, 16], [0, 25.0, 12], [0, 0, 1]], jnp.float32)
+    K_und = jnp.asarray([[22.0, 0, 15], [0, 22.0, 11], [0, 0, 1]], jnp.float32)
+    dist = jnp.asarray([0.05, -0.01, 0.001, 0.002], jnp.float32)
+    out = np.asarray(redistort_image(img, K_raw, dist, K_und))
+
+    # check one interior pixel against the closed-form source location
+    pu, pv = 20, 10
+    x = (pu - 16.0) / 25.0
+    y = (pv - 12.0) / 25.0
+    xd = np.asarray(distort_opencv(jnp.asarray([x, y]), dist))
+    us = xd[0] * 22.0 + 15.0
+    vs = xd[1] * 22.0 + 11.0
+    np.testing.assert_allclose(out[pv, pu, 0], us / W, atol=1e-5)
+    np.testing.assert_allclose(out[pv, pu, 1], vs / H, atol=1e-5)
+
+
+def test_export_eval_images_modes(tmp_path):
+    from mtgs_tpu.data.synthetic import build_scene_model, make_synthetic_scene
+    from mtgs_tpu.data.synthetic import batch_iterator
+    from mtgs_tpu.eval.pipeline import export_eval_images
+    from mtgs_tpu.train.trainer import TrainerConfig
+
+    scene = make_synthetic_scene(
+        seed=0, width=32, height=32, n_travels=1, n_frames=2, n_bg=128,
+        n_instance=0)
+    params, aux = build_scene_model(scene, with_instances=False)
+    cfg = TrainerConfig(width=32, height=32, max_intersections=1 << 12,
+                        backend="xla", predict_normals=False)
+    it = batch_iterator(scene)
+    batches = [next(it) for _ in range(2)]
+
+    seq = export_eval_images(
+        params, aux, cfg, batches, tmp_path / "seq", mode="sequential_with_gt")
+    assert any("_rendered.jpg" in p for p in seq)
+    assert any("_gt_processed.jpg" in p for p in seq)
+    assert all(("traversal_" in p) for p in seq)
+
+    K = np.asarray([[25.0, 0, 16], [0, 25.0, 16], [0, 0, 1]], np.float32)
+    metas = [
+        dict(rel_path=f"log/CAM_F0/tok{i}.jpg", K_raw=K, K_und=K,
+             dist=np.asarray([0.03, 0, 0, 0], np.float32), raw_hw=(32, 32))
+        for i in range(2)
+    ]
+    nup = export_eval_images(
+        params, aux, cfg, batches, tmp_path / "nup", mode="nuplan",
+        view_metas=metas)
+    assert (tmp_path / "nup" / "log" / "CAM_F0" / "tok0.jpg").exists()
+    assert len(nup) == 2
