@@ -92,6 +92,46 @@ def build_model_from_parsed(scene, method_cfg, sample_cfg):
     )
 
 
+def eval_setup(run_dir, *, data=None, step=None, cameras=None):
+    """Reload a trained run for eval/render/viewer — the reference's
+    `eval_setup` (`mtgs/tools/render.py:222-259`: config.yml + ckpt +
+    re-applied camera-pose optimization; render with
+    `apply_cam_opt=True` to reproduce the latter).
+
+    Args:
+        run_dir: directory written by `main` (run_config.json + ckpts).
+        data: override the dataset root recorded in run_config.json.
+        step: checkpoint step (default: latest `step-*` in run_dir).
+
+    Returns (params, aux, cfg, scene, run_cfg_dict).
+    """
+    from mtgs_tpu.configs import method_config
+    from mtgs_tpu.data.dataset import SampleConfig
+    from mtgs_tpu.data.nuplan import parse_scene
+    from mtgs_tpu.train.checkpoint import load_checkpoint_partial
+
+    run_dir = Path(run_dir)
+    rc = json.loads((run_dir / "run_config.json").read_text())
+    cfg = method_config(rc["method"], width=rc["width"], height=rc["height"],
+                        max_steps=rc["steps"])
+    parse_kw = {}
+    cams = cameras if cameras is not None else rc.get("cameras")
+    if cams is not None:
+        parse_kw["cameras"] = tuple(cams)
+    scene = parse_scene(data or rc["data"], split="train",
+                        train_travels=rc.get("travels"),
+                        eval_travels=rc.get("eval_travels"), **parse_kw)
+    params, aux = build_model_from_parsed(
+        scene, cfg, SampleConfig(scale_factor=rc.get("scale", 0.5)))
+
+    ckpts = sorted(run_dir.glob("step-*"))
+    if not ckpts:
+        raise FileNotFoundError(f"no step-* checkpoints under {run_dir}")
+    path = (run_dir / f"step-{step:09d}") if step is not None else ckpts[-1]
+    restored = load_checkpoint_partial(path, {"params": params, "aux": aux})
+    return restored["params"], restored["aux"], cfg, scene, rc
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True)
@@ -141,6 +181,14 @@ def main():
 
     trainer.train(args.steps, log_every=100, callback=log)
     save_checkpoint(out / f"step-{args.steps:09d}", trainer.state, trainer.aux)
+    # run metadata so eval_setup / render tools can reload this run
+    # standalone (the reference's config.yml, `render.py:229`)
+    (out / "run_config.json").write_text(json.dumps(dict(
+        method=args.method, data=str(Path(args.data).absolute()),
+        steps=args.steps, width=args.width, height=args.height,
+        scale=args.scale, travels=args.travels,
+        eval_travels=args.eval_travels,
+    ), indent=2))
 
     # full eval on the eval split
     eval_scene = parse_scene(args.data, split="val", train_travels=args.travels,

@@ -71,6 +71,27 @@ def load_checkpoint(path: str | Path, template: Dict[str, Any]) -> Dict[str, Any
     return _unpack_empty(out, template)
 
 
+def load_checkpoint_partial(path: str | Path, template: Dict[str, Any]) -> Dict[str, Any]:
+    """Restore a SUBSET of a saved payload's top-level keys (e.g. just
+    params+aux for render/viewer tools, ignoring optimizer/densify
+    state — the loading half of the reference's strip-on-completion
+    checkpoints). Keys absent from `template` get zero templates built
+    from the checkpoint's array metadata and are dropped on return."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    md = ckptr.metadata(path).item_metadata
+    full = dict(_pack_empty(template))
+    for key in md.keys():
+        if key not in full:
+            full[key] = jax.tree.map(
+                lambda m: np.zeros(m.shape, m.dtype), md[key]
+            )
+    out = ckptr.restore(path, full)
+    return _unpack_empty({k: out[k] for k in template}, template)
+
+
 # ------------------------------------------------------------ torch import
 
 def _pad_to(arr: np.ndarray, cap: int) -> np.ndarray:

@@ -113,10 +113,20 @@ def render_view(
     tap2d: Optional[jax.Array] = None,
     absgrad_sink: Optional[jax.Array] = None,
     travel_mode: Optional[str] = None,
+    apply_cam_opt: Optional[bool] = None,
 ) -> Dict[str, jax.Array]:
-    """Full forward pass for one camera (ref `get_outputs`)."""
+    """Full forward pass for one camera (ref `get_outputs`).
+
+    Args:
+        apply_cam_opt: apply the trained SO3xR3 pose delta for
+            `batch.image_idx`. Defaults to `training`; set True at
+            eval/render time to reproduce the reference's
+            `load_cam_optim_from` re-application of optimized poses
+            (`nuplan_dataparser.py:399-411`).
+    """
     c2w = batch.c2w
-    if training:
+    use_cam_opt = training if apply_cam_opt is None else apply_cam_opt
+    if use_cam_opt:
         c2w = cam_opt_lib.apply_camera_opt(c2w, params.camera_opt[batch.image_idx])
     scene_cfg = cfg.scene
     if travel_mode is not None:

@@ -331,24 +331,33 @@ class ViewerServer:
 
 
 def main():
+    """`run_viewer.py` equivalent: reload a trained run and serve it."""
     import argparse
 
-    from mtgs_tpu.configs import method_config
-    from mtgs_tpu.train.checkpoint import load_checkpoint
+    from mtgs_tpu.tools.train_scene import eval_setup
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--run", required=True,
+                    help="run dir written by mtgs_tpu.tools.train_scene "
+                         "(run_config.json + step-* checkpoints)")
+    ap.add_argument("--data", default=None,
+                    help="override the dataset root recorded in the run")
     ap.add_argument("--port", type=int, default=7007)
-    ap.add_argument("--width", type=int, default=960)
-    ap.add_argument("--height", type=int, default=540)
     args = ap.parse_args()
 
-    raise SystemExit(
-        "Checkpoint-driven viewer startup requires the run's scene template; "
-        "use ViewerServer(params, aux, cfg) from your training script, or "
-        "see mtgs_tpu/tools/train_scene.py for assembling params/aux."
-        if not args.ckpt else 0
-    )
+    params, aux, cfg, scene, _ = eval_setup(args.run, data=args.data)
+    frame_of_travel = {}
+    for r in scene.records:
+        frame_of_travel.setdefault(int(r.travel_index), int(r.frame_idx))
+    center = np.zeros(3)
+    if scene.seed_xyz is not None and len(scene.seed_xyz):
+        center = np.median(np.asarray(scene.seed_xyz), axis=0)
+    ViewerServer(
+        params, aux, cfg,
+        travels=sorted({int(r.travel_index) for r in scene.records}),
+        init_pos=(float(center[0]), float(center[1]), float(center[2]) + 2.0),
+        frame_of_travel=frame_of_travel,
+    ).serve(port=args.port)
 
 
 if __name__ == "__main__":

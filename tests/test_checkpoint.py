@@ -89,3 +89,37 @@ def test_orbax_roundtrip(tmp_path):
         np.asarray(restored["aux"].background.alive),
         np.asarray(aux.background.alive),
     )
+
+
+def test_partial_restore_params_only(tmp_path):
+    """Render/viewer tools reload only params+aux from a full training
+    checkpoint (load_checkpoint_partial)."""
+    from mtgs_tpu.data.synthetic import build_scene_model, make_synthetic_scene
+    from mtgs_tpu.train import control as ctrl
+    from mtgs_tpu.train.checkpoint import (
+        load_checkpoint_partial, save_checkpoint)
+    from mtgs_tpu.train.trainer import TrainState
+
+    scene = make_synthetic_scene(seed=1, width=32, height=32, n_travels=1,
+                                 n_frames=2, n_bg=80, n_instance=0)
+    params, aux = build_scene_model(scene, with_instances=False)
+    state = TrainState(
+        params=params,
+        opt_state=None,
+        densify={"background": ctrl.DensifyState.zeros(params.background.capacity)},
+        step=jnp.asarray(3, jnp.int32),
+        key=jax.random.key(0),
+    )
+    save_checkpoint(tmp_path / "ck", state, aux, keep_optimizer=False)
+
+    template = {
+        "params": jax.tree.map(np.zeros_like, params),
+        "aux": jax.tree.map(np.zeros_like, aux),
+    }
+    restored = load_checkpoint_partial(tmp_path / "ck", template)
+    np.testing.assert_allclose(
+        np.asarray(restored["params"].background.means),
+        np.asarray(params.background.means))
+    np.testing.assert_allclose(
+        np.asarray(restored["aux"].background.alive),
+        np.asarray(aux.background.alive))

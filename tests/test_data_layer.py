@@ -202,3 +202,55 @@ def test_data_iterator(mini_block, monkeypatch):
     assert b.lidar_depth.shape == (H // 2, W // 2, 1)
     assert float(b.lidar_depth.max()) > 0  # some lidar points projected
     assert b.K[0, 0] < 80.0  # rescaled intrinsics
+
+
+def test_eval_setup_roundtrip(mini_block, monkeypatch, tmp_path):
+    """eval_setup (ref `mtgs/tools/render.py:222-259`): run_config.json +
+    latest checkpoint -> (params, aux, cfg) ready to render."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    import mtgs_tpu.data.nuplan as nuplan_mod
+    from mtgs_tpu.configs import method_config
+    from mtgs_tpu.data.dataset import SampleConfig
+    from mtgs_tpu.train import control as ctrl
+    from mtgs_tpu.train.checkpoint import save_checkpoint
+    from mtgs_tpu.train.trainer import TrainState
+    from mtgs_tpu.tools import train_scene as ts
+
+    rng = np.random.default_rng(0)
+
+    def fake_seeds(data_root, **kw):
+        xyz = rng.uniform(-5, 15, (300, 3)).astype(np.float32)
+        rgb = rng.uniform(0, 255, (300, 3)).astype(np.float32)
+        return xyz, rgb
+
+    monkeypatch.setattr(nuplan_mod, "load_seed_points", fake_seeds)
+
+    cfg = method_config("mtgs", width=W, height=H, max_steps=10)
+    scene = parse_scene(mini_block, cameras=("CAM_F0",), split="train")
+    params, aux = ts.build_model_from_parsed(
+        scene, cfg, SampleConfig(scale_factor=1.0))
+    params = params.replace(appearance=params.appearance + 0.25)
+
+    run = tmp_path / "run"
+    run.mkdir()
+    state = TrainState(
+        params=params, opt_state=None,
+        densify={"background": ctrl.DensifyState.zeros(params.background.capacity)},
+        step=jnp.asarray(10, jnp.int32), key=jax.random.key(0))
+    save_checkpoint(run / "step-000000010", state, aux, keep_optimizer=False)
+    (run / "run_config.json").write_text(json.dumps(dict(
+        method="mtgs", data=str(mini_block), steps=10, width=W, height=H,
+        scale=1.0, travels=None, eval_travels=None,
+        cameras=["CAM_F0"])))
+
+    p2, a2, cfg2, scene2, rc = ts.eval_setup(run)
+    np.testing.assert_allclose(
+        np.asarray(p2.appearance), np.asarray(params.appearance))
+    np.testing.assert_allclose(
+        np.asarray(p2.background.means), np.asarray(params.background.means))
+    assert cfg2.width == W and rc["method"] == "mtgs"
+    assert len(scene2.records) == len(scene.records)
