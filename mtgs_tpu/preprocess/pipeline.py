@@ -101,9 +101,18 @@ def stage_video_split(vs: VideoScene, cfg: dict) -> None:
 
 @stage("export_videos")
 def stage_export_videos(vs: VideoScene, cfg: dict) -> None:
-    raise RuntimeError(
-        "export_videos renders preview mosaics from the raw camera files "
-        "(needs the nuPlan sensor release); purely diagnostic — skip."
+    from mtgs_tpu.preprocess.export_videos import export_traversal_videos
+
+    if not (vs.root / "raw_images").is_dir():
+        raise RuntimeError(
+            "export_videos: no raw_images/ under the road block (needs the "
+            "nuPlan sensor release or collect_raw) — skipping previews."
+        )
+    export_traversal_videos(
+        vs,
+        cameras=cfg.get("cameras"),
+        fps=cfg.get("fps", 10),
+        max_frames=cfg.get("max_frames"),
     )
 
 

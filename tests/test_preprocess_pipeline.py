@@ -233,3 +233,36 @@ def test_generate_log_info_cache(tmp_path):
     assert rows[0]["split"] == "trainval"
     assert len(rows[0]["lidar_pc_tokens"]) == 5
     assert rows[0]["trajectory"][1] == [101.0, 200.12]
+
+
+def test_export_traversal_videos(tmp_path):
+    """Stage 2 (ref nuplan_scripts/export_videos.py): camera mosaic + BEV
+    trajectory inset per traversal."""
+    import pickle
+
+    from PIL import Image
+
+    from mtgs_tpu.preprocess.export_videos import export_traversal_videos
+    from mtgs_tpu.preprocess.video_scene import VideoScene
+
+    rng = np.random.default_rng(0)
+    vs = VideoScene(tmp_path, "scene")
+    (vs.root / "raw_images").mkdir(parents=True)
+    vsd = _vsd(n_videos=2, n_frames=3)
+    for info in vsd.values():
+        for f, frame in enumerate(info["frame_infos"]):
+            rel = f"{info['video_token']}_{f}.jpg"
+            Image.fromarray(
+                (rng.random((36, 64, 3)) * 255).astype(np.uint8)).save(
+                vs.root / "raw_images" / rel)
+            frame["cams"] = {"CAM_F0": dict(data_path=rel),
+                             "CAM_L0": dict(data_path=rel)}
+    vs.save(vsd, "raw")
+
+    written = export_traversal_videos(
+        vs, tile_width=64, make_video=False, max_frames=2)
+    pngs = [p for p in written if p.suffix == ".png"]
+    assert len(pngs) == 2 * 2  # 2 traversals x 2 frames
+    img = Image.open(pngs[0])
+    # 2 cams + BEV inset -> 2x2 grid of 64-wide tiles
+    assert img.size[0] == 128
