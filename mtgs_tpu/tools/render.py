@@ -155,3 +155,65 @@ def render_camera_path(
         travel_index, out_dir, fps=int(round(spec["fps"])),
         make_video=make_video,
     )
+
+
+def depth_colormap(depth: np.ndarray, *, near: float = 0.0,
+                   far: Optional[float] = None) -> np.ndarray:
+    """Turbo-style colormap for metric depth -> uint8 RGB (the
+    reference's nerfstudio `colormaps.apply_depth_colormap` role)."""
+    d = np.asarray(depth, np.float32).squeeze()
+    if far is None:
+        valid = d[np.isfinite(d) & (d > 0)]
+        far = float(np.percentile(valid, 95.0)) if valid.size else 1.0
+    x = np.clip((d - near) / max(far - near, 1e-6), 0.0, 1.0)
+    # compact turbo polynomial fit (Google turbo colormap endpoints)
+    r = np.clip(1.61 * x ** 0.8 - 0.55 * x ** 3, 0, 1)
+    g = np.clip(np.sin(np.pi * x), 0, 1) ** 1.2
+    b = np.clip(1.0 - 1.35 * x + 0.45 * np.sin(3 * np.pi * x) * (1 - x), 0, 1)
+    rgb = np.nan_to_num(np.stack([r, g, b], -1), nan=0.0)
+    return (rgb * 255).astype(np.uint8)
+
+
+def render_dataset(
+    params: SceneParams,
+    aux: SceneAux,
+    cfg: TrainerConfig,
+    batches: Iterable[Batch],
+    out_dir: str | Path,
+    *,
+    outputs: Sequence[str] = ("rgb", "gt", "depth"),
+    apply_cam_opt: bool = True,
+    step: int = 10**9,
+) -> List[Path]:
+    """Render every dataset view with the requested layers — the
+    `dataset` subcommand (ref `DatasetRender`, `mtgs/tools/render.py:
+    569-746`): rgb render, ground truth, and turbo-colormapped depth,
+    one subfolder per layer. Trained camera-pose deltas are re-applied
+    (the reference's `load_cam_optim_from` path)."""
+    from PIL import Image
+
+    out_dir = Path(out_dir)
+    render = jax.jit(
+        lambda p, b: render_view(
+            p, aux, cfg, b, jnp.asarray(step, jnp.int32),
+            training=False, apply_cam_opt=apply_cam_opt,
+        )
+    )
+    written: List[Path] = []
+    for i, batch in enumerate(batches):
+        out = render(params, batch)
+        layers = {}
+        if "rgb" in outputs:
+            layers["rgb"] = np.asarray(
+                jnp.clip(out["rgb_appearance"], 0, 1) * 255).astype(np.uint8)
+        if "gt" in outputs:
+            layers["gt"] = np.asarray(
+                jnp.clip(batch.image, 0, 1) * 255).astype(np.uint8)
+        if "depth" in outputs:
+            layers["depth"] = depth_colormap(np.asarray(out["depth"]))
+        for name, img in layers.items():
+            p = out_dir / name / f"{i:05d}.png"
+            p.parent.mkdir(parents=True, exist_ok=True)
+            Image.fromarray(img).save(p)
+            written.append(p)
+    return written

@@ -85,3 +85,27 @@ def test_viewer_page_has_render_panel():
     for token in ("addkf", "clearkf", "exportkf", "camera_to_world",
                   "render_width", "camera_path", "fov"):
         assert token in _PAGE, token
+
+
+def test_render_dataset_layers(tmp_path):
+    """`dataset` render mode (ref DatasetRender): rgb/gt/depth layers."""
+    from mtgs_tpu.data.synthetic import (
+        batch_iterator, build_scene_model, make_synthetic_scene)
+    from mtgs_tpu.tools.render import depth_colormap, render_dataset
+    from mtgs_tpu.train.trainer import TrainerConfig
+
+    d = depth_colormap(np.linspace(0, 10, 64).reshape(8, 8))
+    assert d.shape == (8, 8, 3) and d.dtype == np.uint8
+    assert not (d[0] == d[-1]).all()  # near and far differ
+
+    scene = make_synthetic_scene(seed=0, width=32, height=32, n_travels=1,
+                                 n_frames=2, n_bg=128, n_instance=0)
+    params, aux = build_scene_model(scene, with_instances=False)
+    cfg = TrainerConfig(width=32, height=32, max_intersections=1 << 12,
+                        backend="xla", predict_normals=False)
+    it = batch_iterator(scene)
+    batches = [next(it) for _ in range(2)]
+    written = render_dataset(params, aux, cfg, batches, tmp_path)
+    assert len(written) == 6
+    for layer in ("rgb", "gt", "depth"):
+        assert (tmp_path / layer / "00000.png").exists()
