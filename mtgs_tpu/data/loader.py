@@ -170,3 +170,20 @@ def data_iterator(
             pending.append(i)
         i = pending.popleft()
         yield batch_from_sample(records[i], cache.get(i))
+
+
+def staged_iterator_factory(scene, cfg, **loader_kw):
+    """`scale -> Iterator[Batch]` factory for the multi-resolution
+    training ladder (ref `custom_datamanager.py:143-152,248-258` in
+    OpenDriveLab/MTGS: one dataloader per `scaling_factors` stage,
+    caches released on stage switch). Each call builds a fresh
+    `data_iterator` whose sample scale is `base_scale * stage_scale`;
+    dropping the previous iterator frees its cache."""
+    import dataclasses as _dc
+
+    def factory(stage_scale: float):
+        stage_cfg = _dc.replace(
+            cfg, scale_factor=cfg.scale_factor * stage_scale)
+        return data_iterator(scene, stage_cfg, **loader_kw)
+
+    return factory

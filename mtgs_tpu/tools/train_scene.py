@@ -144,6 +144,9 @@ def main():
     ap.add_argument("--width", type=int, default=960)
     ap.add_argument("--height", type=int, default=540)
     ap.add_argument("--balanced-sampler", action="store_true")
+    ap.add_argument("--stage-scales", type=float, nargs="*", default=None,
+                    help="multi-resolution ladder: equal step spans per "
+                         "scale, e.g. 0.25 0.5 1.0")
     args = ap.parse_args()
 
     from mtgs_tpu.configs import method_config, optimizer_table
@@ -167,8 +170,17 @@ def main():
     params, aux = build_model_from_parsed(scene, cfg, sample_cfg)
 
     data = data_iterator(scene, sample_cfg, balanced=args.balanced_sampler)
+    stages = factory = None
+    if args.stage_scales:
+        from mtgs_tpu.data.loader import staged_iterator_factory
+
+        span = args.steps // len(args.stage_scales)
+        stages = [(k * span, s) for k, s in enumerate(args.stage_scales)]
+        factory = staged_iterator_factory(
+            scene, sample_cfg, balanced=args.balanced_sampler)
     trainer = Trainer(cfg, params, aux, data,
-                      optim_config=optimizer_table(args.steps))
+                      optim_config=optimizer_table(args.steps),
+                      data_factory=factory, resolution_stages=stages)
 
     t0 = time.time()
 

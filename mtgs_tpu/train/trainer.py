@@ -363,10 +363,26 @@ class Trainer:
         data: Iterator[Batch],
         optim_config: Optional[optim_lib.OptimConfig] = None,
         seed: int = 0,
+        data_factory=None,
+        resolution_stages=None,
     ):
+        """`resolution_stages` enables the multi-resolution training
+        ladder (ref `custom_datamanager.py:143-152`): a list of
+        (start_step, scale) pairs; at each stage boundary the train step
+        is re-jitted at scale x (width, height) and `data_factory(scale)`
+        supplies a matching batch iterator (see
+        `mtgs_tpu.data.loader.staged_iterator_factory`)."""
         self.cfg = cfg
         self.aux = aux
         self.data = data
+        self._base_cfg = cfg
+        self._data_factory = data_factory
+        self.resolution_stages = (
+            sorted(resolution_stages) if resolution_stages else None
+        )
+        if self.resolution_stages is not None and data_factory is None:
+            raise ValueError("resolution_stages requires data_factory")
+        self._cur_scale = None
         self.optimizer = optim_lib.build_optimizer(
             params,
             optim_config
@@ -519,6 +535,23 @@ class Trainer:
 
     # --------------------------------------------------------------- loop
 
+    def _set_resolution_stage(self, scale: float):
+        """Re-jit the step at the stage resolution + swap the data
+        iterator (the reference's per-stage dataloader + memory release,
+        `custom_datamanager.py:248-258`)."""
+        base = self._base_cfg
+        self.data = self._data_factory(scale)
+        # derive the stage render size from the data itself so the jit
+        # shape matches whatever rounding the resize used
+        first = next(self.data)
+        h, w = first.image.shape[:2]
+        self._pending_batch = first
+        isect = max(int(base.max_intersections * scale * scale), 1 << 14)
+        self.cfg = base.replace(width=w, height=h, max_intersections=isect)
+        self._step_fn = make_train_step(self.cfg, self.optimizer)
+        self._refine_fns = {}
+        self._cur_scale = scale
+
     def train(self, num_steps: int, log_every: int = 100, callback=None, writer=None):
         """Run `num_steps`. `writer` is an optional
         `mtgs_tpu.utils.observability.Writer` receiving every metric plus
@@ -530,7 +563,20 @@ class Trainer:
         history = []
         for i in range(num_steps):
             step = int(self.state.step)
-            batch = next(self.data)
+            if self.resolution_stages is not None:
+                scale = self.resolution_stages[0][1]
+                for start, s in self.resolution_stages:
+                    if step >= start:
+                        scale = s
+                if scale != self._cur_scale:
+                    self._set_resolution_stage(scale)
+                    timer = StepTimer(
+                        pixels_per_step=self.cfg.width * self.cfg.height)
+            if getattr(self, "_pending_batch", None) is not None:
+                batch = self._pending_batch
+                self._pending_batch = None
+            else:
+                batch = next(self.data)
             self.state, metrics = self._step_fn(self.state, self.aux, batch)
 
             sref = step + 1

@@ -121,3 +121,37 @@ def test_wild_gaussians_training(scene):
     assert p1 > p0 + 1.0, (p0, p1)
     emb1 = np.asarray(trainer.state.params.wild.embeddings)
     assert not np.allclose(emb0, emb1)  # wild params actually optimized
+
+
+def test_resolution_ladder_stage_switch():
+    """Multi-resolution training ladder (ref custom_datamanager.py:
+    143-152): re-jit at each stage boundary, batches follow the scale."""
+    def scene_at(s):
+        return make_synthetic_scene(
+            seed=0, width=int(64 * s), height=int(64 * s), n_travels=1,
+            n_frames=2, n_bg=300, n_instance=0)
+
+    base_scene = scene_at(1.0)
+    params, aux = build_scene_model(base_scene, with_instances=False)
+    cfg = TrainerConfig(
+        width=64, height=64, max_intersections=1 << 14, max_steps=60,
+        backend="xla", predict_normals=False,
+        control=ctrl.ControlConfig(densify_from_iter=10**9),
+    )
+    seen_sizes = []
+
+    def factory(scale):
+        seen_sizes.append(scale)
+        return batch_iterator(scene_at(scale))
+
+    trainer = Trainer(
+        cfg, params, aux, batch_iterator(base_scene),
+        data_factory=factory,
+        resolution_stages=[(0, 0.5), (8, 1.0)],
+    )
+    hist = trainer.train(12, log_every=1000)
+    assert seen_sizes == [0.5, 1.0]
+    assert trainer.cfg.width == 64 and trainer._cur_scale == 1.0
+    losses = [float(h["total_loss"]) for h in hist]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
