@@ -235,3 +235,21 @@ def redistort_image(
         + tap(v0i + 1, u0i + 1) * (fu * fv)[..., None]
     )
     return out
+
+
+def camera_velocity_in_world(
+    ego_linear_velocity: jax.Array,    # [3] in ego frame
+    ego_angular_velocity: jax.Array,   # [3] in ego frame
+    cam2ego: jax.Array,                # [4, 4]
+    ego2global: jax.Array,             # [4, 4]
+) -> tuple[jax.Array, jax.Array]:
+    """Camera linear + angular velocity in the world frame from CAN-bus
+    ego rates (ref `calculate_camera_velocity_in_world`,
+    `mtgs/utils/camera_utils.py:295-338`): the camera rides the rigid ego
+    body, so v_cam = v_ego + omega x r_cam, both rotated to world."""
+    v = jnp.asarray(ego_linear_velocity, jnp.float32)
+    w = jnp.asarray(ego_angular_velocity, jnp.float32)
+    r = cam2ego[:3, 3]
+    R = ego2global[:3, :3]
+    v_cam_ego = v + jnp.cross(w, r)
+    return R @ v_cam_ego, R @ w

@@ -119,3 +119,19 @@ def test_distortion_roundtrip():
     xy_d = distort_opencv(xy, dist)
     xy_u = undistort_points(xy_d, dist, iters=20)
     np.testing.assert_allclose(xy_u, xy, atol=1e-5)
+
+
+def test_camera_velocity_in_world():
+    """omega x r lever arm + world rotation (ref camera_utils.py:295-338)."""
+    from mtgs_tpu.core.camera import camera_velocity_in_world
+
+    cam2ego = jnp.eye(4).at[:3, 3].set(jnp.asarray([2.0, 0.0, 1.0]))
+    # ego yawing at 1 rad/s, moving +x at 10 m/s; world frame rotated 90deg
+    ego2global = jnp.asarray(
+        [[0.0, -1, 0, 0], [1, 0, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]])
+    v, w = camera_velocity_in_world(
+        jnp.asarray([10.0, 0, 0]), jnp.asarray([0.0, 0, 1.0]),
+        cam2ego, ego2global)
+    # v_ego-frame = (10,0,0) + (0,0,1)x(2,0,1) = (10,2,0); world-rotated
+    np.testing.assert_allclose(np.asarray(v), [-2.0, 10.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w), [0.0, 0.0, 1.0], atol=1e-6)
