@@ -10,6 +10,7 @@ Videos are written as PNG frame folders plus an mp4 when ffmpeg exists.
 from __future__ import annotations
 
 import dataclasses
+import math
 import subprocess
 from pathlib import Path
 from typing import Iterable, List, Optional, Sequence
@@ -217,3 +218,98 @@ def render_dataset(
             Image.fromarray(img).save(p)
             written.append(p)
     return written
+
+
+def render_interpolated(
+    params: SceneParams,
+    aux: SceneAux,
+    cfg: TrainerConfig,
+    scene,                        # ParsedScene
+    travel_index: int,
+    out_dir: str | Path,
+    *,
+    cameras: Sequence[str] = ("CAM_L0", "CAM_F0", "CAM_R0"),
+    target_hz: float = 60.0,
+    source_hz: float = 2.0,
+    fps: int = 60,
+    make_video: bool = True,
+) -> List[Path]:
+    """`interpolate` mode (ref `RenderInterpolated`, `mtgs/tools/
+    render.py:439-552`): slerp-upsample one traversal's per-camera pose
+    path to `target_hz` and write side-by-side camera mosaics (the
+    reference concats the front / back 3-camera sets)."""
+    from PIL import Image
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    recs = [r for r in scene.records if r.travel_index == travel_index]
+    per_cam = {}
+    for name in cameras:
+        cam_recs = sorted(
+            (r for r in recs if r.cam_name == name), key=lambda r: r.frame_idx)
+        if not cam_recs:
+            continue
+        c2ws = np.stack([r.c2w for r in cam_recs])
+        ts = np.asarray([r.timestamp for r in cam_recs], np.float64)
+        poses, tsi = interpolate_poses(
+            c2ws, ts, target_hz=target_hz, source_hz=source_hz)
+        K = cam_recs[0].intrinsic.copy()
+        # rescale raw intrinsics onto the render size
+        K[0] *= cfg.width / cam_recs[0].width
+        K[1] *= cfg.height / cam_recs[0].height
+        frame_rows = np.repeat(
+            [r.frame_idx for r in cam_recs],
+            math.ceil(len(poses) / max(len(cam_recs), 1)))[: len(poses)]
+        per_cam[name] = (poses, tsi, K, frame_rows)
+    if not per_cam:
+        raise ValueError(f"traversal {travel_index} has none of {cameras}")
+
+    n = min(len(v[0]) for v in per_cam.values())
+    interp_cfg = cfg.replace(scene=cfg.scene.replace(interp_poses=True))
+
+    @jax.jit
+    def render_one(p, batch):
+        return render_view(
+            p, aux, interp_cfg, batch, jnp.asarray(10**6), training=False
+        )["rgb_appearance"]
+
+    paths: List[Path] = []
+    H, W = cfg.height, cfg.width
+    for i in range(n):
+        tiles = []
+        for name in cameras:
+            if name not in per_cam:
+                continue
+            poses, tsi, K, frame_rows = per_cam[name]
+            batch = Batch(
+                image=jnp.zeros((H, W, 3), jnp.float32),
+                mask=jnp.ones((H, W, 1), jnp.float32),
+                c2w=jnp.asarray(poses[i], jnp.float32),
+                K=jnp.asarray(K, jnp.float32),
+                cam_idx=jnp.asarray(0, jnp.int32),
+                image_idx=jnp.asarray(0, jnp.int32),
+                travel_index=jnp.asarray(travel_index, jnp.int32),
+                frame_idx=jnp.asarray(int(frame_rows[i]), jnp.int32),
+                timestamp=jnp.asarray(float(tsi[i]), jnp.float32),
+                lidar_depth=jnp.zeros((H, W, 1), jnp.float32),
+                pseudo_depth=jnp.zeros((H, W, 1), jnp.float32),
+            )
+            rgb = render_one(params, batch)
+            tiles.append(
+                np.asarray(jnp.clip(rgb, 0, 1) * 255).astype(np.uint8))
+        mosaic = np.concatenate(tiles, axis=1)
+        p = out_dir / f"frame_{i:05d}.png"
+        Image.fromarray(mosaic).save(p)
+        paths.append(p)
+
+    if make_video and paths:
+        try:
+            subprocess.run(
+                ["ffmpeg", "-y", "-loglevel", "error", "-framerate", str(fps),
+                 "-i", str(out_dir / "frame_%05d.png"),
+                 "-pix_fmt", "yuv420p", str(out_dir / "render.mp4")],
+                check=True,
+            )
+        except (FileNotFoundError, subprocess.CalledProcessError):
+            pass
+    return paths

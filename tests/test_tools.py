@@ -109,3 +109,45 @@ def test_render_dataset_layers(tmp_path):
     assert len(written) == 6
     for layer in ("rgb", "gt", "depth"):
         assert (tmp_path / layer / "00000.png").exists()
+
+
+def test_render_interpolated_mosaic(tmp_path):
+    """`interpolate` mode (ref RenderInterpolated): slerp upsample + the
+    side-by-side camera mosaic."""
+    import types
+
+    from mtgs_tpu.data.nuplan import ImageRecord
+    from mtgs_tpu.data.synthetic import build_scene_model, make_synthetic_scene
+    from mtgs_tpu.tools.render import render_interpolated
+    from mtgs_tpu.train.trainer import TrainerConfig
+
+    scene = make_synthetic_scene(seed=0, width=32, height=32, n_travels=1,
+                                 n_frames=2, n_bg=128, n_instance=0)
+    params, aux = build_scene_model(scene, with_instances=False)
+    cfg = TrainerConfig(width=32, height=32, max_intersections=1 << 12,
+                        backend="xla", predict_normals=False)
+
+    def rec(cam, f, x):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 3] = [x, 0.0, 0.5]
+        return ImageRecord(
+            image_path="", intrinsic=np.asarray(
+                [[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1]], np.float32),
+            distortion=np.zeros(5), c2w=c2w, lidar2cam=np.eye(4),
+            lidar_path=None, travel_id=0, travel_index=0, frame_idx=f,
+            frame_token=f"f{f}", cam_token=f"{cam}{f}", cam_name=cam,
+            cam_idx=0, timestamp=f / 2.0, raw_timestamp=f,
+            width=32, height=32)
+
+    records = [rec("CAM_F0", f, float(f)) for f in range(2)]
+    records += [rec("CAM_L0", f, float(f) + 0.2) for f in range(2)]
+    fake = types.SimpleNamespace(records=records)
+
+    paths = render_interpolated(
+        params, aux, cfg, fake, 0, tmp_path,
+        cameras=("CAM_L0", "CAM_F0"), target_hz=8.0, source_hz=2.0,
+        make_video=False)
+    assert len(paths) == 5  # (2-1) segment x4 + endpoint
+    from PIL import Image
+    img = Image.open(paths[0])
+    assert img.size == (64, 32)  # two 32px tiles side by side
