@@ -24,6 +24,33 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
+
+def _await_backend(timeout_s: float = 600.0, poll_s: float = 20.0) -> None:
+    """Fail fast (exit 1) if the device backend can't initialize.
+
+    The TPU is reached over a tunnel that can be down; backend init then
+    blocks forever inside `jax.devices()`. Probe it in a daemon thread so
+    a dead tunnel produces a clear error instead of a silent driver hang.
+    """
+    import threading
+
+    ready = threading.Event()
+
+    def probe():
+        jax.devices()
+        ready.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if ready.wait(poll_s):
+            return
+        print(f"# waiting for device backend "
+              f"({time.time() - t0:.0f}s)...", file=sys.stderr)
+    print("# ERROR: device backend unavailable "
+          f"after {timeout_s:.0f}s (TPU tunnel down?)", file=sys.stderr)
+    sys.exit(1)
+
 BASELINE_RAYS_PER_S = 2.0e6
 WIDTH, HEIGHT = 960, 540
 N_GAUSS = 1_000_000
@@ -60,6 +87,7 @@ def make_scene(seed=0):
 
 
 def main():
+    _await_backend()
     from mtgs_tpu.core.camera import camera_to_gsplat_viewmat
     from mtgs_tpu.raster import RasterizeConfig, rasterize
 
