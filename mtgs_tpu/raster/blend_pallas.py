@@ -350,7 +350,7 @@ def _transpose_kernel(in_ref, out_ref):
         out_ref[w:] = jnp.zeros_like(out_ref[w:])
 
 
-def rows_to_attr_major(rows: jax.Array, blk: int = 512) -> jax.Array:
+def rows_to_attr_major(rows: jax.Array, blk: int = 512, *, interpret: bool = False) -> jax.Array:
     """[cap, W] -> [round_up(W, 8), cap] transpose as a tiled Pallas kernel
     (pad rows are zeros — Mosaic DMA slices need 8-aligned sublane dims).
 
@@ -366,10 +366,11 @@ def rows_to_attr_major(rows: jax.Array, blk: int = 512) -> jax.Array:
         in_specs=[pl.BlockSpec((blk, w), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((w_pad, blk), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((w_pad, cap), rows.dtype),
+        interpret=interpret,
     )(rows)
 
 
-def attr_major_to_rows(attrs: jax.Array, blk: int = 512) -> jax.Array:
+def attr_major_to_rows(attrs: jax.Array, blk: int = 512, *, interpret: bool = False) -> jax.Array:
     """[W, cap] -> [cap, W] blocked Pallas transpose (see rows_to_attr_major)."""
     w, cap = attrs.shape
     assert cap % blk == 0, (cap, blk)
@@ -379,4 +380,5 @@ def attr_major_to_rows(attrs: jax.Array, blk: int = 512) -> jax.Array:
         in_specs=[pl.BlockSpec((w, blk), lambda i: (0, i))],
         out_specs=pl.BlockSpec((blk, w), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((cap, w), attrs.dtype),
+        interpret=interpret,
     )(attrs)

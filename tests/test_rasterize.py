@@ -217,3 +217,20 @@ def test_pallas_interpret_parity_fwd_bwd():
         np.testing.assert_allclose(
             np.asarray(gp) / scale, np.asarray(gx) / scale,
             atol=2e-3, err_msg=name)
+
+
+def test_pallas_transposes_interpret():
+    """Blocked VMEM transposes (rows_to_attr_major / attr_major_to_rows)
+    vs plain numpy transpose, incl. the 8-alignment zero padding."""
+    from mtgs_tpu.raster.blend_pallas import (
+        attr_major_to_rows, rows_to_attr_major)
+
+    rng = np.random.default_rng(0)
+    rows = jnp.asarray(rng.normal(size=(1024, 13)), jnp.float32)
+    t = rows_to_attr_major(rows, interpret=True)
+    assert t.shape == (16, 1024)  # 13 -> padded 16
+    np.testing.assert_array_equal(np.asarray(t[:13]), np.asarray(rows).T)
+    np.testing.assert_array_equal(np.asarray(t[13:]), 0.0)
+
+    back = attr_major_to_rows(t[:13], interpret=True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(rows))
