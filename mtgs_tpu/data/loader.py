@@ -105,6 +105,16 @@ class SampleCache:
         if self.strategy == "async" and i not in self._cache:
             self._pool.submit(self._fill, i)
 
+    def close(self):
+        """Release the worker pool + cache (stage-switch memory release,
+        ref `custom_datamanager.py:248-258`)."""
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
+        with self._lock:
+            self._cache.clear()
+            self._lru.clear()
+
     def get(self, i: int) -> dict:
         with self._lock:
             s = self._cache.get(i)
@@ -153,10 +163,12 @@ def data_iterator(
     num_workers: int = 4,
     seed: int = 0,
     lookahead: int = 8,
+    cache: Optional[SampleCache] = None,
 ) -> Iterator[Batch]:
     """Infinite Batch iterator over a parsed scene's records."""
     records = scene.records
-    cache = SampleCache(records, cfg, strategy=strategy, num_workers=num_workers)
+    if cache is None:
+        cache = SampleCache(records, cfg, strategy=strategy, num_workers=num_workers)
     if balanced:
         travel_of_image = np.array([r.travel_index for r in records])
         sampler: Iterator[int] = TraversalBalancedSampler(travel_of_image, seed)
@@ -177,13 +189,24 @@ def staged_iterator_factory(scene, cfg, **loader_kw):
     training ladder (ref `custom_datamanager.py:143-152,248-258` in
     OpenDriveLab/MTGS: one dataloader per `scaling_factors` stage,
     caches released on stage switch). Each call builds a fresh
-    `data_iterator` whose sample scale is `base_scale * stage_scale`;
-    dropping the previous iterator frees its cache."""
+    `data_iterator` whose sample scale is `base_scale * stage_scale`
+    and explicitly closes the previous stage's cache (worker pool +
+    host memory)."""
     import dataclasses as _dc
 
+    strategy = loader_kw.pop("strategy", "prefetch")
+    num_workers = loader_kw.pop("num_workers", 4)
+    prev: List[SampleCache] = []
+
     def factory(stage_scale: float):
+        if prev:
+            prev.pop().close()
         stage_cfg = _dc.replace(
             cfg, scale_factor=cfg.scale_factor * stage_scale)
-        return data_iterator(scene, stage_cfg, **loader_kw)
+        cache = SampleCache(
+            scene.records, stage_cfg, strategy=strategy,
+            num_workers=num_workers)
+        prev.append(cache)
+        return data_iterator(scene, stage_cfg, cache=cache, **loader_kw)
 
     return factory

@@ -89,7 +89,7 @@ def _load():
                 w = patch_weights(mask_hw)
             tw = float(w.sum())
             if tw <= 1e-6:
-                return 0.0
+                return None  # fully-masked view: omit, don't bias the mean
             return float((cos * torch.from_numpy(w)).sum() / tw)
 
         run(

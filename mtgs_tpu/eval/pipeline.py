@@ -153,8 +153,10 @@ def export_eval_images(
 
     Args:
         view_metas: per-batch dicts with optional keys travel_id,
-            cam_name, cam_idx, raw_path, rel_path, K_raw, dist, K_und,
-            raw_hw. Defaults are derived from the batch.
+            cam_name, view_idx (per-view file index; NOT the physical
+            camera id), raw_path, rel_path, K_raw, dist, K_und, raw_hw.
+            Defaults are derived from the batch. The nuplan mode
+            requires K_raw/dist/K_und.
     Returns the written file paths.
     """
     import os
@@ -181,7 +183,7 @@ def export_eval_images(
         img = to_u8(out["rgb_appearance"])
         travel = meta.get("travel_id", int(batch.travel_index))
         cam = meta.get("cam_name", f"cam{int(batch.cam_idx)}")
-        idx = meta.get("cam_idx", int(batch.image_idx))
+        idx = meta.get("view_idx", int(batch.image_idx))
 
         if mode in ("sequential", "sequential_with_gt"):
             p = out_root / f"traversal_{travel}" / cam / f"{idx}_rendered.jpg"
@@ -201,14 +203,19 @@ def export_eval_images(
                     written.append(str(link))
         elif mode == "nuplan":
             rel = meta.get("rel_path", f"log/{cam}/{idx}.jpg")
-            if all(k in meta for k in ("K_raw", "dist", "K_und")):
-                img = to_u8(redistort_image(
-                    jnp.asarray(img, jnp.float32) / 255.0,
-                    jnp.asarray(meta["K_raw"], jnp.float32),
-                    jnp.asarray(meta["dist"], jnp.float32),
-                    jnp.asarray(meta["K_und"], jnp.float32),
-                    tuple(meta["raw_hw"]) if "raw_hw" in meta else None,
-                ))
+            missing = [k for k in ("K_raw", "dist", "K_und") if k not in meta]
+            if missing:
+                raise ValueError(
+                    f"nuplan export mode needs {missing} in view_metas[{i}] "
+                    "to re-distort the render to raw camera geometry"
+                )
+            img = to_u8(redistort_image(
+                jnp.asarray(img, jnp.float32) / 255.0,
+                jnp.asarray(meta["K_raw"], jnp.float32),
+                jnp.asarray(meta["dist"], jnp.float32),
+                jnp.asarray(meta["K_und"], jnp.float32),
+                tuple(meta["raw_hw"]) if "raw_hw" in meta else None,
+            ))
             p = out_root / rel
             p.parent.mkdir(parents=True, exist_ok=True)
             Image.fromarray(img).save(p)

@@ -13,16 +13,13 @@ when ffmpeg exists (same convention as `mtgs_tpu/tools/render.py`).
 from __future__ import annotations
 
 import math
-import subprocess
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
 from mtgs_tpu.preprocess.video_scene import VideoScene
-from mtgs_tpu.tools.preview import trajectory_xy
-
-_COLORS = ["#3366cc", "#dc3912", "#ff9900", "#109618", "#990099", "#0099c6"]
+from mtgs_tpu.tools.preview import _COLORS, trajectory_xy
 
 
 def _bev_inset(trajs: Dict[int, np.ndarray], current: int, pos: np.ndarray,
@@ -122,14 +119,9 @@ def export_traversal_videos(
             written.append(fp)
 
         if make_video and written:
-            try:
-                subprocess.run(
-                    ["ffmpeg", "-y", "-loglevel", "error", "-framerate",
-                     str(fps), "-i", str(vid_dir / "frame_%05d.png"),
-                     "-pix_fmt", "yuv420p", str(vid_dir / "preview.mp4")],
-                    check=True,
-                )
-                written.append(vid_dir / "preview.mp4")
-            except (FileNotFoundError, subprocess.CalledProcessError):
-                pass  # frames remain
+            from mtgs_tpu.tools.render import frames_to_mp4
+
+            mp4 = frames_to_mp4(vid_dir, fps, out_name="preview.mp4")
+            if mp4 is not None:
+                written.append(mp4)
     return written

@@ -54,7 +54,7 @@ def generate_log_info_cache(
         folder = Path(openscene_root) / "meta_datas" / split
         if not folder.is_dir():
             continue
-        for file in sorted(folder.iterdir()):
+        for file in sorted(folder.glob("*.pkl")):
             if not file.is_file():
                 continue
             with file.open("rb") as f:
@@ -65,7 +65,7 @@ def generate_log_info_cache(
                 [i["ego2global_translation"] for i in infos], np.float64
             )[:, :2]
             rows.append({
-                "log_name": file.name[:-4],
+                "log_name": file.stem,
                 "log_token": infos[0]["log_token"],
                 "city": infos[0]["map_location"],
                 "split": split,

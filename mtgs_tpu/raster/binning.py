@@ -141,7 +141,8 @@ def bin_gaussians(
     total = offsets[-1] + counts[-1] if N > 0 else jnp.zeros((), jnp.int32)
 
     offsets = offsets.astype(jnp.int32)
-    if jax.default_backend() == "tpu" and I % 512 == 0 and I < (1 << 24):
+    if (jax.default_backend() == "tpu" and I % 512 == 0
+            and I < (1 << 24) and N < (1 << 24)):
         # Pallas windowed expand: zero scatters, zero global scans — the
         # MXU telescopes (src, offset, span word) per 512-slot block from
         # a consecutive offset window (see expand_pallas.py). ~6x faster

@@ -24,6 +24,24 @@ from mtgs_tpu.models.scene_graph import SceneAux, SceneParams
 from mtgs_tpu.train.trainer import Batch, TrainerConfig, render_view
 
 
+def frames_to_mp4(frame_dir: str | Path, fps: int,
+                  out_name: str = "render.mp4") -> Optional[Path]:
+    """Encode `frame_%05d.png` under `frame_dir` with ffmpeg; returns the
+    mp4 path, or None when ffmpeg is unavailable (frames remain)."""
+    frame_dir = Path(frame_dir)
+    out = frame_dir / out_name
+    try:
+        subprocess.run(
+            ["ffmpeg", "-y", "-loglevel", "error", "-framerate", str(fps),
+             "-i", str(frame_dir / "frame_%05d.png"),
+             "-pix_fmt", "yuv420p", str(out)],
+            check=True,
+        )
+        return out
+    except (FileNotFoundError, subprocess.CalledProcessError):
+        return None
+
+
 def interpolate_poses(
     c2ws: np.ndarray, timestamps: np.ndarray, target_hz: float = 60.0, source_hz: float = 2.0
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -99,15 +117,7 @@ def render_trajectory(
         paths.append(p)
 
     if make_video and paths:
-        try:
-            subprocess.run(
-                ["ffmpeg", "-y", "-loglevel", "error", "-framerate", str(fps),
-                 "-i", str(out_dir / "frame_%05d.png"),
-                 "-pix_fmt", "yuv420p", str(out_dir / "render.mp4")],
-                check=True,
-            )
-        except (FileNotFoundError, subprocess.CalledProcessError):
-            pass  # frames remain
+        frames_to_mp4(out_dir, fps)
     return paths
 
 
@@ -303,13 +313,5 @@ def render_interpolated(
         paths.append(p)
 
     if make_video and paths:
-        try:
-            subprocess.run(
-                ["ffmpeg", "-y", "-loglevel", "error", "-framerate", str(fps),
-                 "-i", str(out_dir / "frame_%05d.png"),
-                 "-pix_fmt", "yuv420p", str(out_dir / "render.mp4")],
-                check=True,
-            )
-        except (FileNotFoundError, subprocess.CalledProcessError):
-            pass
+        frames_to_mp4(out_dir, fps)
     return paths

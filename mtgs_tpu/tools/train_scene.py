@@ -169,8 +169,7 @@ def main():
                         eval_travels=args.eval_travels)
     params, aux = build_model_from_parsed(scene, cfg, sample_cfg)
 
-    data = data_iterator(scene, sample_cfg, balanced=args.balanced_sampler)
-    stages = factory = None
+    stages = factory = data = None
     if args.stage_scales:
         from mtgs_tpu.data.loader import staged_iterator_factory
 
@@ -178,6 +177,10 @@ def main():
         stages = [(k * span, s) for k, s in enumerate(args.stage_scales)]
         factory = staged_iterator_factory(
             scene, sample_cfg, balanced=args.balanced_sampler)
+        # the trainer installs factory(stages[0]) before the first step —
+        # don't prefetch a full-resolution cache that would be discarded
+    else:
+        data = data_iterator(scene, sample_cfg, balanced=args.balanced_sampler)
     trainer = Trainer(cfg, params, aux, data,
                       optim_config=optimizer_table(args.steps),
                       data_factory=factory, resolution_stages=stages)

@@ -360,7 +360,7 @@ class Trainer:
         cfg: TrainerConfig,
         params: SceneParams,
         aux: SceneAux,
-        data: Iterator[Batch],
+        data: Optional[Iterator[Batch]],
         optim_config: Optional[optim_lib.OptimConfig] = None,
         seed: int = 0,
         data_factory=None,
@@ -382,6 +382,8 @@ class Trainer:
         )
         if self.resolution_stages is not None and data_factory is None:
             raise ValueError("resolution_stages requires data_factory")
+        if data is None and self.resolution_stages is None:
+            raise ValueError("need `data` unless resolution_stages is set")
         self._cur_scale = None
         self.optimizer = optim_lib.build_optimizer(
             params,
@@ -547,6 +549,7 @@ class Trainer:
         h, w = first.image.shape[:2]
         self._pending_batch = first
         isect = max(int(base.max_intersections * scale * scale), 1 << 14)
+        isect = ((isect + 511) // 512) * 512  # keep the Pallas expand gate
         self.cfg = base.replace(width=w, height=h, max_intersections=isect)
         self._step_fn = make_train_step(self.cfg, self.optimizer)
         self._refine_fns = {}

@@ -55,7 +55,7 @@ select,input { background:#222; color:#ddd; border:1px solid #555; }
  <span id="kfn">0 kf</span>
  sec <input id="secs" type="number" value="6" min="1" style="width:44px">
  fps <input id="pathfps" type="number" value="30" min="1" style="width:44px">
- fov <input id="fov" type="number" value="65" min="10" max="120" style="width:44px">
+ fov <input id="fov" type="number" min="10" max="120" style="width:44px">
  <button id="exportkf">export json</button>
 </div>
 <canvas id="cv"></canvas>
@@ -138,6 +138,10 @@ window.onkeydown = e => {
 // Exports the nerfstudio-style camera_path JSON consumed by
 // mtgs_tpu.tools.render.render_camera_path.
 let keyframes = [];
+// default export fov = the live view's actual vertical FOV (the server
+// renders with fy = 0.8*W), so exported paths match what was framed
+document.getElementById('fov').value =
+  (2 * Math.atan((H / 2) / (0.8 * W)) * 180 / Math.PI).toFixed(1);
 function c2wOf(p, yaw, pitch) {
   const cy = Math.cos(yaw), sy = Math.sin(yaw);
   const cp = Math.cos(pitch), sp = Math.sin(pitch);
