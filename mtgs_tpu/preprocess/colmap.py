@@ -354,3 +354,159 @@ def apply_sim3_to_model(cameras, images, points, s: float, R: np.ndarray, t: np.
         im.qvec = np.asarray(rotmat_to_quat(jnp.asarray(R_new, jnp.float32)), np.float64)
         im.tvec = -R_new @ c_new
     return cameras, images, points
+
+
+# ------------------------------------------------- fixed-pose model build
+def fov_triangle(intrinsic: np.ndarray, cam2global: np.ndarray,
+                 scale: float = 30.0) -> np.ndarray:
+    """Camera view field as a 2D ground-plane triangle [3, 2]
+    (ref `field_of_view_intrinsic`, `nuplan_scripts/utils/camera_utils.py:
+    12-37`): apex at the camera, two corners `scale` out along the
+    horizontal FOV edges, all transformed by cam2global and projected
+    to xy."""
+    half = intrinsic[0, 2] / intrinsic[0, 0]
+    pts = np.asarray(
+        [[0, 0, 0], [half, 0, 1], [-half, 0, 1]], np.float64) * scale
+    pts = pts @ cam2global[:3, :3].T + cam2global[:3, 3]
+    return pts[:, :2]
+
+
+def _clip_polygon(poly: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman clip of `poly` by the half-plane left of a->b."""
+    out = []
+    n = len(poly)
+    for i in range(n):
+        p, q = poly[i], poly[(i + 1) % n]
+        d, dp, dq = b - a, p - a, q - a
+        side_p = d[0] * dp[1] - d[1] * dp[0]
+        side_q = d[0] * dq[1] - d[1] * dq[0]
+        if side_p >= 0:
+            out.append(p)
+        if (side_p >= 0) != (side_q >= 0):
+            t = side_p / (side_p - side_q)
+            out.append(p + t * (q - p))
+    return np.asarray(out) if out else np.zeros((0, 2))
+
+
+def convex_overlap_area(p1: np.ndarray, p2: np.ndarray) -> float:
+    """Intersection area of two convex 2D polygons (CCW or CW)."""
+
+    def ccw(p):
+        u, v = p[1] - p[0], p[2] - p[0]
+        return p if u[0] * v[1] - u[1] * v[0] >= 0 else p[::-1]
+
+    poly = ccw(np.asarray(p1, np.float64))
+    p2 = ccw(np.asarray(p2, np.float64))
+    for i in range(len(p2)):
+        if len(poly) < 3:
+            return 0.0
+        poly = _clip_polygon(poly, p2[i], p2[(i + 1) % len(p2)])
+    if len(poly) < 3:
+        return 0.0
+    x, y = poly[:, 0], poly[:, 1]
+    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2)
+
+
+def build_fixed_pose_model(
+    video_scene_dict: dict,
+    out_dir: str | Path,
+    block_size: float,
+    *,
+    valid_fn=None,
+    image_size: Tuple[int, int] = (1920, 1080),
+    fov_scale: float = 30.0,
+) -> Tuple[Dict[int, Camera], Dict[int, Image], List[Tuple[str, str]], float]:
+    """Build the fixed-pose COLMAP model of all traversals (ref
+    `create_colmap_model` + `create_cameras_per_vehicle`,
+    `nuplan_scripts/ba_multi_traversal.py:57-213`): one OPENCV camera
+    per (vehicle, cam), camera poses scaled so the road block spans
+    ~10 COLMAP units, world->cam quaternions, per-image dedup, and the
+    match pair list = image pairs whose ground-plane FOV triangles
+    overlap. Writes sparse_model/*.bin, image_pairs.txt, and a database
+    with cameras+images (keypoints/matches are COLMAP's job).
+
+    Args:
+        valid_fn: optional (frame_info, cam_name, cam_info) -> bool to
+            drop images (the reference drops >80%-masked ones).
+    Returns (cameras, images, pairs, scale_factor).
+    """
+    import jax.numpy as jnp
+
+    from mtgs_tpu.core.quat import quat_to_rotmat, rotmat_to_quat
+
+    out_dir = Path(out_dir)
+    (out_dir / "sparse_model").mkdir(parents=True, exist_ok=True)
+    scale = 10.0 / max(float(block_size), 1e-6)
+
+    cameras: Dict[int, Camera] = {}
+    cam_id_of: Dict[Tuple[str, str], int] = {}
+    images: Dict[int, Image] = {}
+    views = []   # (name, triangle)
+    seen_names = set()
+    next_cam, next_img = 1, 1
+
+    for token, info in video_scene_dict.items():
+        veh = info.get("vehicle_name", "veh0")
+        frames = [f for f in info.get("frame_infos", [])
+                  if not f.get("skipped", False)]
+        for f in frames:
+            ego2global = np.asarray(f["ego2global"], np.float64)
+            for cam_name, ci in f.get("cams", {}).items():
+                key = (veh, cam_name)
+                if key not in cam_id_of:
+                    K = np.asarray(ci["cam_intrinsic"], np.float64)
+                    d = np.asarray(ci.get("distortion", np.zeros(4)),
+                                   np.float64)
+                    cameras[next_cam] = Camera(
+                        camera_id=next_cam, model="OPENCV",
+                        width=image_size[0], height=image_size[1],
+                        params=np.asarray(
+                            [K[0, 0], K[1, 1], K[0, 2], K[1, 2],
+                             d[0], d[1], d[2], d[3]]),
+                    )
+                    cam_id_of[key] = next_cam
+                    next_cam += 1
+                if valid_fn is not None and not valid_fn(f, cam_name, ci):
+                    continue
+                name = f"{veh}_{cam_name}/{Path(ci['data_path']).name}"
+                if name in seen_names:
+                    continue
+                seen_names.add(name)
+
+                cam2ego = np.eye(4)
+                cam2ego[:3, :3] = np.asarray(quat_to_rotmat(
+                    jnp.asarray(ci["sensor2ego_rotation"], jnp.float32)))
+                cam2ego[:3, 3] = ci["sensor2ego_translation"]
+                cam2global = ego2global @ cam2ego
+                views.append((name, fov_triangle(
+                    np.asarray(ci["cam_intrinsic"], np.float64),
+                    cam2global, scale=fov_scale)))
+                cam2global = cam2global.copy()
+                cam2global[:3, 3] *= scale
+
+                R_w2c = cam2global[:3, :3].T
+                t_w2c = -R_w2c @ cam2global[:3, 3]
+                q = np.asarray(rotmat_to_quat(jnp.asarray(R_w2c, jnp.float32)))
+                images[next_img] = Image(
+                    image_id=next_img, qvec=q.astype(np.float64),
+                    tvec=t_w2c, camera_id=cam_id_of[key], name=name)
+                next_img += 1
+
+    pairs: List[Tuple[str, str]] = []
+    for i in range(len(views)):
+        for j in range(i + 1, len(views)):
+            if convex_overlap_area(views[i][1], views[j][1]) > 0.0:
+                pairs.append((views[i][0], views[j][0]))
+
+    write_model(cameras, images, {}, out_dir / "sparse_model")
+    with open(out_dir / "image_pairs.txt", "w") as fh:
+        for a, b in pairs:
+            fh.write(f"{a} {b}\n")
+    db = ColmapDatabase(out_dir / "database.db")
+    for cam in cameras.values():
+        db.add_camera(cam)
+    for img in images.values():
+        db.add_image(img)
+    db.commit()
+    db.close()
+    return cameras, images, pairs, scale

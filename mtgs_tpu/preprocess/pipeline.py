@@ -207,13 +207,23 @@ def stage_lidar_registration(vs: VideoScene, cfg: dict) -> None:
 def stage_colmap(vs: VideoScene, cfg: dict) -> None:
     from mtgs_tpu.preprocess import colmap as cm
 
+    vsd = vs.load()
+    block_size = cfg.get("block_size", 200.0)
+    cams, imgs, pairs, scale = cm.build_fixed_pose_model(
+        vsd, vs.colmap_path, block_size,
+        image_size=cfg.get("image_size", (1920, 1080)),
+    )
     if not cm.colmap_available():
-        raise RuntimeError("the `colmap` binary is not on PATH")
-    raise RuntimeError(
-        "colmap stage: building the fixed-pose model requires the "
-        "undistorted images + masks on disk; drive it via "
-        "mtgs_tpu.preprocess.colmap primitives (write_model, "
-        "ColmapDatabase, run_point_triangulator, umeyama_sim3)."
+        raise RuntimeError(
+            f"fixed-pose model written ({len(imgs)} images, {len(pairs)} "
+            "pairs) but the `colmap` binary is not on PATH to run feature "
+            "extraction + point_triangulator"
+        )
+    cm.run_point_triangulator(
+        vs.colmap_path / "database.db",
+        cfg.get("colmap_image_root", vs.root / "raw_images"),
+        vs.colmap_path / "sparse_model",
+        vs.colmap_path / "triangulated",
     )
 
 

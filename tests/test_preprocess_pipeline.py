@@ -266,3 +266,68 @@ def test_export_traversal_videos(tmp_path):
     img = Image.open(pngs[0])
     # 2 cams + BEV inset -> 2x2 grid of 64-wide tiles
     assert img.size[0] == 128
+
+
+def test_convex_overlap_area():
+    from mtgs_tpu.preprocess.colmap import convex_overlap_area
+
+    sq = np.asarray([[0, 0], [2, 0], [2, 2], [0, 2]], np.float64)
+    shifted = sq + [1.0, 1.0]
+    assert abs(convex_overlap_area(sq, shifted) - 1.0) < 1e-9
+    assert convex_overlap_area(sq, sq + [5.0, 0.0]) == 0.0
+    # winding-order independent
+    assert abs(convex_overlap_area(sq[::-1], shifted) - 1.0) < 1e-9
+
+
+def test_build_fixed_pose_model(tmp_path):
+    """Fixed-pose COLMAP model build (ref ba_multi_traversal.py:57-213):
+    per-vehicle cameras, ~10-unit pose scaling, w2c quats, FOV pairs."""
+    from mtgs_tpu.preprocess.colmap import (
+        build_fixed_pose_model, read_model)
+
+    import jax.numpy as jnp
+
+    from mtgs_tpu.core.quat import rotmat_to_quat
+
+    K = np.asarray([[800.0, 0, 960], [0, 800.0, 540], [0, 0, 1]])
+    # camera +z along ego +x (forward), +x along ego -y, +y along ego -z
+    R_c2e = np.asarray([[0.0, 0, 1], [-1, 0, 0], [0, -1, 0]])
+    q_c2e = [float(x) for x in np.asarray(
+        rotmat_to_quat(jnp.asarray(R_c2e, jnp.float32)))]
+    vsd = {}
+    for v in range(2):
+        frames = []
+        for f in range(3):
+            ego2global = np.eye(4)
+            ego2global[:3, 3] = [f * 5.0, v * 2.0, 0.0]
+            frames.append(dict(
+                token=f"t{v}_{f}", ego2global=ego2global,
+                cams={"CAM_F0": dict(
+                    data_path=f"img_{v}_{f}.jpg",
+                    cam_intrinsic=K,
+                    distortion=np.asarray([0.1, -0.05, 0.001, 0.002, 0.0]),
+                    sensor2ego_rotation=q_c2e,
+                    sensor2ego_translation=[1.0, 0.0, 1.5],
+                )},
+            ))
+        vsd[f"blk-{v}"] = dict(video_token=f"blk-{v}", vehicle_name=f"veh{v}",
+                               frame_infos=frames)
+
+    cams, imgs, pairs, scale = build_fixed_pose_model(
+        vsd, tmp_path, block_size=200.0)
+    assert scale == 10.0 / 200.0
+    assert len(cams) == 2          # one per (vehicle, cam)
+    assert len(imgs) == 6
+    assert pairs                   # forward-facing cams overlap
+    # model roundtrip + pose inversion check
+    c2, i2, p2 = read_model(tmp_path / "sparse_model")
+    assert len(c2) == 2 and len(i2) == 6
+    img = next(iter(i2.values()))
+    from mtgs_tpu.core.quat import quat_to_rotmat
+    import jax.numpy as jnp
+    R = np.asarray(quat_to_rotmat(jnp.asarray(img.qvec, jnp.float32)))
+    cam_pos_world = -R.T @ img.tvec   # scaled world frame
+    # camera 0 of vehicle 0 frame 0 sits at ego + cam offset, x1 scale
+    assert np.isfinite(cam_pos_world).all()
+    assert (tmp_path / "image_pairs.txt").exists()
+    assert (tmp_path / "database.db").exists()
