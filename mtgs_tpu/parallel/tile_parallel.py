@@ -69,10 +69,13 @@ def rasterize_tile_sharded(
     blend = blend_forward_pallas if backend == "pallas" else blend_forward_xla
 
     def shard_fn(offs_l, hds_l, cnts_l, nchk_l, slab_l):
+        # each shard blends a contiguous block of GLOBAL tiles — pixel
+        # origins must come from the global tile index, not the local row
+        base = jax.lax.axis_index(axis) * offs_l.shape[0]
         return blend(
             slab_l, offs_l, hds_l, cnts_l, nchk_l,
             tile_size=config.tile_size, tiles_x=config.tiles_x,
-            c_total=c_total,
+            c_total=c_total, tile_base=base,
             **({"interpret": config.interpret} if backend == "pallas" else {}),
         )
 

@@ -57,6 +57,7 @@ def _fwd_kernel(
     head_ref,   # first live lane within the first window
     cnt_ref,    # live pairs per tile
     nch_ref,    # aligned windows per tile
+    base_ref,   # [1] global index of tile row 0 (tile-sharded render)
     # inputs (HBM)
     slab_hbm,   # [6 + c_total, cap]
     # constants (VMEM)
@@ -78,7 +79,7 @@ def _fwd_kernel(
     head = head_ref[t]
     count = cnt_ref[t]
     nch = nch_ref[t]
-    ox, oy = _origin(t, tiles_x, tile_size)
+    ox, oy = _origin(base_ref[0] + t, tiles_x, tile_size)
     F = f_ref[:]
     LT = lt_ref[:]
     P = tile_size * tile_size
@@ -118,14 +119,18 @@ def blend_forward_pallas(
     tiles_x: int,
     c_total: int,
     interpret: bool = False,
+    tile_base=None,   # [] or [1] global index of tile row 0
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (rgb_tiles [T, c_total, PIX], t_final [T, PIX])."""
     T = tile_offsets.shape[0]
     P = tile_size * tile_size
     W = slab_t.shape[0]
     ct = c_total
+    if tile_base is None:
+        tile_base = jnp.zeros((1,), jnp.int32)
+    tile_base = jnp.asarray(tile_base, jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -155,8 +160,8 @@ def blend_forward_pallas(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(tile_offsets, tile_heads, tile_counts, tile_nchunks, slab_t,
-      cm.pixel_features(tile_size), cm.tri_inclusive(CHUNK))
+    )(tile_offsets, tile_heads, tile_counts, tile_nchunks, tile_base,
+      slab_t, cm.pixel_features(tile_size), cm.tri_inclusive(CHUNK))
     return rgb, tfin[:, 0, :]
 
 

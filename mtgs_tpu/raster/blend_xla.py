@@ -17,8 +17,8 @@ from mtgs_tpu.raster import chunk_math as cm
 from mtgs_tpu.raster.chunk_math import CHUNK
 
 
-def _tile_origins(num_tiles: int, tiles_x: int, tile_size: int):
-    t = jnp.arange(num_tiles, dtype=jnp.int32)
+def _tile_origins(num_tiles: int, tiles_x: int, tile_size: int, base=0):
+    t = base + jnp.arange(num_tiles, dtype=jnp.int32)
     ox = ((t % tiles_x) * tile_size).astype(jnp.float32)
     oy = ((t // tiles_x) * tile_size).astype(jnp.float32)
     return ox, oy
@@ -34,6 +34,7 @@ def blend_forward_xla(
     tile_size: int,
     tiles_x: int,
     c_total: int,
+    tile_base=0,   # global index of tile row 0 (tile-sharded rendering)
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (rgb_tiles [T, c_total, PIX], t_final [T, PIX])."""
     num_tiles = tile_offsets.shape[0]
@@ -43,7 +44,7 @@ def blend_forward_xla(
     max_chunks = cap // CHUNK
     F = cm.pixel_features(tile_size)
     LT = cm.tri_inclusive(CHUNK)
-    ox, oy = _tile_origins(num_tiles, tiles_x, tile_size)
+    ox, oy = _tile_origins(num_tiles, tiles_x, tile_size, tile_base)
 
     def per_tile(offset, head, count, nchunks, origin_x, origin_y):
         def step(carry, k):
