@@ -333,3 +333,35 @@ def run_pipeline(
             status[sname] = f"failed: {e}"
             traceback.print_exc()
     return status
+
+
+def main(argv=None):
+    """CLI: `mtgs-preprocess DATA_ROOT SCENE_NAME [--start N] [--stop N]`
+    (the reference's `preprocess.sh CONFIG ... STEP` entry)."""
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("data_root")
+    ap.add_argument("scene_name")
+    ap.add_argument("--start", type=int, default=1)
+    ap.add_argument("--stop", type=int, default=len(STAGE_ORDER))
+    ap.add_argument("--config", default=None,
+                    help="JSON file with per-stage config dicts")
+    ap.add_argument("--strict", action="store_true",
+                    help="abort on unavailable stages instead of skipping")
+    args = ap.parse_args(argv)
+    config = None
+    if args.config:
+        with open(args.config) as f:
+            config = json.load(f)
+    status = run_pipeline(
+        args.data_root, args.scene_name, start=args.start, stop=args.stop,
+        config=config, skip_unavailable=not args.strict)
+    for stage_name, st in status.items():
+        print(f"{stage_name:24s} {st}")
+    return 0 if all(v == "ok" or v.startswith("skipped") for v in status.values()) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
