@@ -108,6 +108,71 @@ def _fwd_kernel(
     tfin_ref[0] = jnp.exp(carry.log_t_out).reshape(1, P)
 
 
+def _fwd_kernel_db(
+    off_ref, head_ref, cnt_ref, nch_ref, base_ref,
+    slab_hbm, f_ref, lt_ref,
+    rgb_ref, tfin_ref,
+    slab_s,     # [2, W, CHUNK] double buffer
+    sems,       # DMA sems [2]
+    *,
+    tile_size: int,
+    tiles_x: int,
+    c_total: int,
+):
+    """Double-buffered variant of `_fwd_kernel`: chunk k+1's HBM->VMEM
+    copy is issued before chunk k's math, hiding the per-chunk DMA
+    latency behind the VPU/MXU work (opt-in via MTGS_DB_DMA=1)."""
+    t = pl.program_id(0)
+    offset = off_ref[t]
+    head = head_ref[t]
+    count = cnt_ref[t]
+    nch = nch_ref[t]
+    ox, oy = _origin(base_ref[0] + t, tiles_x, tile_size)
+    F = f_ref[:]
+    LT = lt_ref[:]
+    P = tile_size * tile_size
+
+    def copy(k, buf):
+        idx = pl.multiple_of(offset + k * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            slab_hbm.at[:, pl.ds(idx, CHUNK)], slab_s.at[buf], sems.at[buf]
+        )
+
+    @pl.when(nch > 0)
+    def _():
+        copy(0, 0).start()
+
+    def cond(state):
+        k, carry = state
+        return jnp.logical_and(k < nch, jnp.max(carry.log_t_all) > LOG_T_EPS)
+
+    def body(state):
+        k, carry = state
+
+        @pl.when(k + 1 < nch)
+        def _():
+            copy(k + 1, (k + 1) % 2).start()
+
+        copy(k, k % 2).wait()
+        carry = cm.forward_chunk(
+            carry, slab_s[k % 2, 0: cm.NUM_GEOM + c_total], ox, oy, F, LT,
+            bounds=(head - k * CHUNK, head + count - k * CHUNK),
+        )
+        return k + 1, carry
+
+    init = (jnp.zeros((), jnp.int32), cm.init_carry(tile_size, c_total))
+    ke, carry = jax.lax.while_loop(cond, body, init)
+
+    # early exit leaves chunk ke's prefetch (issued by iteration ke-1)
+    # in flight — drain it so the kernel ends with quiet semaphores
+    @pl.when(jnp.logical_and(ke > 0, ke < nch))
+    def _():
+        copy(ke, ke % 2).wait()
+
+    rgb_ref[0] = carry.rgb
+    tfin_ref[0] = jnp.exp(carry.log_t_out).reshape(1, P)
+
+
 def blend_forward_pallas(
     slab_t: jax.Array,        # [8-aligned W >= 6 + c_total, cap]
     tile_offsets: jax.Array,
@@ -129,6 +194,9 @@ def blend_forward_pallas(
     if tile_base is None:
         tile_base = jnp.zeros((1,), jnp.int32)
     tile_base = jnp.asarray(tile_base, jnp.int32).reshape(1)
+    import os
+
+    double_buffer = bool(os.environ.get("MTGS_DB_DMA"))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(T,),
@@ -142,12 +210,15 @@ def blend_forward_pallas(
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((W, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM(
+                ((2, W, CHUNK) if double_buffer else (W, CHUNK)), jnp.float32
+            ),
+            pltpu.SemaphoreType.DMA((2,) if double_buffer else (1,)),
         ],
     )
     kernel = functools.partial(
-        _fwd_kernel, tile_size=tile_size, tiles_x=tiles_x, c_total=ct
+        _fwd_kernel_db if double_buffer else _fwd_kernel,
+        tile_size=tile_size, tiles_x=tiles_x, c_total=ct,
     )
     rgb, tfin = pl.pallas_call(
         kernel,
