@@ -45,6 +45,12 @@ from mtgs_tpu.raster import chunk_math as cm
 from mtgs_tpu.raster.chunk_math import CHUNK, LOG_T_EPS
 
 
+def _db_dma() -> bool:
+    import os
+
+    return bool(os.environ.get("MTGS_DB_DMA"))
+
+
 def _origin(tile_id, tiles_x: int, tile_size: int):
     ox = ((tile_id % tiles_x) * tile_size).astype(jnp.float32)
     oy = ((tile_id // tiles_x) * tile_size).astype(jnp.float32)
@@ -194,9 +200,7 @@ def blend_forward_pallas(
     if tile_base is None:
         tile_base = jnp.zeros((1,), jnp.int32)
     tile_base = jnp.asarray(tile_base, jnp.int32).reshape(1)
-    import os
-
-    double_buffer = bool(os.environ.get("MTGS_DB_DMA"))
+    double_buffer = _db_dma()
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(T,),
@@ -336,6 +340,121 @@ def _bwd_kernel(
     jax.lax.while_loop(cond, body, init)
 
 
+def _bwd_kernel_db(
+    off_ref, head_ref, cnt_ref, nch_ref,
+    slab_hbm, f_ref, lt_ref,
+    rgb_ref, tfin_ref, grgb_ref, gt_ref, zg_hbm,
+    g_hbm,
+    slab_s,     # [2, W, CHUNK]
+    gg_s,       # [2, W, CHUNK]
+    ggp_s,      # [W, CHUNK] RMW partial of the shared first window
+    sems,       # DMA sems [3]: read buf 0/1 + RMW read
+    wsems,      # DMA sems [2]: write buf 0/1
+    *,
+    tile_size: int,
+    tiles_x: int,
+    c_total: int,
+):
+    """Double-buffered backward (opt-in via MTGS_DB_DMA=1): chunk k+1's
+    slab read prefetches before chunk k's math, and chunk k's gradient
+    write-back stays in flight through iteration k+1 (windows within a
+    tile are disjoint; all writes drain before the program ends, so the
+    cross-tile shared-first-window RMW stays race-free)."""
+    t = pl.program_id(0)
+    offset = off_ref[t]
+    head = head_ref[t]
+    count = cnt_ref[t]
+    nch = nch_ref[t]
+    ox, oy = _origin(t, tiles_x, tile_size)
+    F = f_ref[:]
+    LT = lt_ref[:]
+    P = tile_size * tile_size
+    live_w = cm.NUM_GEOM + c_total
+
+    grgb = grgb_ref[0]
+    gt = gt_ref[0].reshape(P, 1)
+    tf = tfin_ref[0].reshape(P, 1)
+    total_dot = jnp.sum(grgb * rgb_ref[0], axis=0).reshape(P, 1)
+
+    def rcopy(k, buf):
+        idx = pl.multiple_of(offset + k * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            slab_hbm.at[:, pl.ds(idx, CHUNK)], slab_s.at[buf], sems.at[buf]
+        )
+
+    def wcopy(k, buf):
+        idx = pl.multiple_of(offset + k * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            gg_s.at[buf], g_hbm.at[:, pl.ds(idx, CHUNK)], wsems.at[buf]
+        )
+
+    @pl.when(nch > 0)
+    def _():
+        rcopy(0, 0).start()
+
+    def cond(state):
+        k, carry = state
+        return jnp.logical_and(k < nch, jnp.max(carry.log_t_all) > LOG_T_EPS)
+
+    def body(state):
+        k, carry = state
+
+        @pl.when(k + 1 < nch)
+        def _():
+            rcopy(k + 1, (k + 1) % 2).start()
+
+        first = k == 0
+
+        @pl.when(first)
+        def _():
+            idx0 = pl.multiple_of(offset, CHUNK)
+            rd = pltpu.make_async_copy(
+                g_hbm.at[:, pl.ds(idx0, CHUNK)], ggp_s, sems.at[2]
+            )
+            rd.start()
+            rd.wait()
+
+        rcopy(k, k % 2).wait()
+        g_slab, carry = cm.backward_chunk(
+            carry, slab_s[k % 2, 0:live_w], ox, oy, grgb, gt, tf,
+            total_dot, F, LT,
+            bounds=(head - k * CHUNK, head + count - k * CHUNK),
+        )
+        # reclaim this write buffer from the write issued 2 chunks ago
+        @pl.when(k >= 2)
+        def _():
+            wcopy(k - 2, k % 2).wait()
+
+        firstf = first.astype(g_slab.dtype)
+        gg_s[k % 2, 0:live_w] = g_slab + firstf * ggp_s[0:live_w]
+        if gg_s.shape[1] > live_w:
+            gg_s[k % 2, live_w:] = jnp.zeros_like(gg_s[k % 2, live_w:])
+        wcopy(k, k % 2).start()
+        return k + 1, carry
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        cm.BwdCarry(
+            log_t_all=jnp.zeros((P, 1), jnp.float32),
+            wg_cum=jnp.zeros((P, 1), jnp.float32),
+        ),
+    )
+    ke, _ = jax.lax.while_loop(cond, body, init)
+
+    # drain: writes ke-2 / ke-1 and (on early exit) the ke read prefetch
+    @pl.when(ke >= 2)
+    def _():
+        wcopy(ke - 2, ke % 2).wait()
+
+    @pl.when(ke >= 1)
+    def _():
+        wcopy(ke - 1, (ke - 1) % 2).wait()
+
+    @pl.when(jnp.logical_and(ke > 0, ke < nch))
+    def _():
+        rcopy(ke, ke % 2).wait()
+
+
 def blend_backward_pallas(
     slab_t: jax.Array,
     tile_offsets: jax.Array,
@@ -377,16 +496,27 @@ def blend_backward_pallas(
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((W, CHUNK), jnp.float32),
-            pltpu.VMEM((W, CHUNK), jnp.float32),
-            pltpu.VMEM((W, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((1,)),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((2, W, CHUNK), jnp.float32),
+                pltpu.VMEM((2, W, CHUNK), jnp.float32),
+                pltpu.VMEM((W, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            if _db_dma()
+            else [
+                pltpu.VMEM((W, CHUNK), jnp.float32),
+                pltpu.VMEM((W, CHUNK), jnp.float32),
+                pltpu.VMEM((W, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((1,)),
+            ]
+        ),
     )
     kernel = functools.partial(
-        _bwd_kernel, tile_size=tile_size, tiles_x=tiles_x, c_total=ct
+        _bwd_kernel_db if _db_dma() else _bwd_kernel,
+        tile_size=tile_size, tiles_x=tiles_x, c_total=ct,
     )
     (out,) = pl.pallas_call(
         kernel,
