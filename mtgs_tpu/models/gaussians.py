@@ -11,7 +11,7 @@ outside jit — N changes every refine step in the reference; here the
 
 Parameter semantics match the reference exactly:
     means        [cap, 3]   world positions
-    scales       [cap, 3]   log-scales (exp activation)
+    scales       [cap, 3]   log-scales (exp activation; [cap, 1] marbles)
     quats        [cap, 4]   wxyz, normalized on use
     features_dc  [cap, 3]   SH degree-0 coefficients
     features_rest[cap, K-1, 3] or [cap, T, K-1, 3] (multi-traversal)
@@ -96,6 +96,7 @@ def init_node_from_points(
     multi_feature_rest: bool = False,
     init_opacity: float = 0.1,
     seed: int = 0,
+    isotropic: bool = False,
 ) -> tuple[GaussianNodeParams, NodeAux]:
     """Seed a node from a colored point cloud.
 
@@ -129,7 +130,10 @@ def init_node_from_points(
         rest = np.zeros((cap, dim_sh - 1, 3), np.float32)
     adapters = np.zeros((cap, num_traversals, 3), np.float32)
 
-    scales = np.full((cap, 3), -5.0, np.float32)
+    # scale_dim=1 "Gaussian marbles" stores one tied log-scale per
+    # gaussian (ref `vanilla_gaussian_splatting.py:74-79,185-196`)
+    scale_dim = 1 if isotropic else 3
+    scales = np.full((cap, scale_dim), -5.0, np.float32)
     if n > 0:
         avg = np.maximum(knn_mean_distance(np.asarray(xyz)), 1e-7)
         scales[:n] = np.log(avg)[:, None]
@@ -209,7 +213,10 @@ def init_skybox_node(
 # ---------------------------------------------------------------- activations
 
 def get_scales(p: GaussianNodeParams) -> jax.Array:
-    return jnp.exp(p.scales)
+    s = jnp.exp(p.scales)
+    if s.shape[-1] == 1:  # isotropic marbles: broadcast the tied scale
+        s = jnp.broadcast_to(s, (s.shape[0], 3))
+    return s
 
 
 def get_opacities(p: GaussianNodeParams, aux: NodeAux) -> jax.Array:

@@ -193,3 +193,33 @@ def test_skybox_init_shell():
     np.testing.assert_allclose(
         np.asarray(p.features_dc[:n]), float(rgb_to_sh(jnp.asarray(1.0))), atol=1e-5
     )
+
+
+def test_gaussian_marbles_isotropic():
+    """scale_dim=1 marbles variant (ref vanilla_gaussian_splatting.py:
+    74-79,185-196): one tied log-scale, broadcast at activation, and
+    densify control ops stay shape-correct."""
+    from mtgs_tpu.models.gaussians import get_scales
+    from mtgs_tpu.train import control as ctrl
+
+    rng = np.random.default_rng(0)
+    p, aux = init_node_from_points(
+        rng.normal(size=(32, 3)).astype(np.float32) * 3,
+        rng.uniform(0, 255, (32, 3)).astype(np.float32),
+        capacity=64, isotropic=True)
+    assert p.scales.shape == (64, 1)
+    s = get_scales(p)
+    assert s.shape == (64, 3)
+    np.testing.assert_allclose(np.asarray(s[:, 0]), np.asarray(s[:, 1]))
+
+    # densify/cull ops accept the tied column
+    key = jax.random.key(0)
+    st = ctrl.DensifyState.zeros(64)
+    st = st.replace(xys_grad_norm=jnp.full((64,), 1.0),
+                    vis_counts=jnp.ones((64,)))
+    out = ctrl.refine_node(
+        key, p, aux, jax.tree.map(jnp.zeros_like, p),
+        jax.tree.map(jnp.zeros_like, p), st,
+        ctrl.ControlConfig(), jnp.asarray(600, jnp.int32),
+        do_densify=True, do_cull_big=False, use_screen_size=False)
+    assert out.params.scales.shape == (64, 1)
