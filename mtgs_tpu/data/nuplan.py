@@ -145,6 +145,19 @@ def _filter_skipped(frame_infos: List[dict]) -> List[dict]:
     return [fi for fi in frame_infos if not fi.get("skipped", False)]
 
 
+def openscene_tokens_for_log(openscene_root: str | Path, log_name: str) -> set:
+    """Lidar-pc token set of one log from the OpenScene meta pkls
+    (consumed by `parse_scene(eval_tokens=...)` for token-split eval)."""
+    import pickle as _pickle
+
+    for split_name in ("trainval", "test"):
+        p = Path(openscene_root) / "meta_datas" / split_name / f"{log_name}.pkl"
+        if p.exists():
+            with open(p, "rb") as f:
+                return {info["token"] for info in _pickle.load(f)}
+    raise FileNotFoundError(f"no OpenScene meta pkl for log {log_name}")
+
+
 def parse_scene(
     data_root: str | Path,
     *,
@@ -159,6 +172,7 @@ def parse_scene(
     load_points: bool = True,
     voxel_size: float = 0.15,
     pickle_name: str = "video_scene_dict.pkl",
+    eval_tokens: Optional[set] = None,
 ) -> ParsedScene:
     """Parse one road block folder into flat records + seeds."""
     data_root = Path(data_root)
@@ -205,7 +219,12 @@ def parse_scene(
         span = max(max_ts - min_ts, 1)
 
         infos = _filter_skipped(infos)
-        if manual_split:
+        if split != "train" and eval_tokens is not None:
+            # OpenScene-token eval: keep only frames whose lidar-pc token
+            # appears in the provided set (ref `eval_openscene`,
+            # `nuplan_dataparser.py:209-217`)
+            infos = [fi for fi in infos if fi["token"] in eval_tokens]
+        elif manual_split:
             infos = (infos[:-1][::2] + infos[-1:]) if split == "train" else infos[:-1][1::2]
         elif split != "train" and eval_2hz:
             infos = infos[:-1][::5] + infos[-1:]

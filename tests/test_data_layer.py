@@ -254,3 +254,20 @@ def test_eval_setup_roundtrip(mini_block, monkeypatch, tmp_path):
         np.asarray(p2.background.means), np.asarray(params.background.means))
     assert cfg2.width == W and rc["method"] == "mtgs"
     assert len(scene2.records) == len(scene.records)
+
+
+def test_eval_tokens_split(mini_block, monkeypatch):
+    """OpenScene-token eval split (ref nuplan_dataparser.py:209-217)."""
+    rng = np.random.default_rng(0)
+
+    import mtgs_tpu.data.nuplan as nuplan_mod
+
+    def fake_seeds(data_root, **kw):
+        return (rng.uniform(-5, 15, (100, 3)).astype(np.float32),
+                rng.uniform(0, 255, (100, 3)).astype(np.float32))
+
+    monkeypatch.setattr(nuplan_mod, "load_seed_points", fake_seeds)
+    keep = {"tok_0_0", "tok_1_2"}
+    ev = parse_scene(mini_block, cameras=("CAM_F0",), split="val",
+                     load_points=False, eval_tokens=keep)
+    assert {r.frame_token for r in ev.records} == keep
