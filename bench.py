@@ -35,15 +35,24 @@ def _await_backend(timeout_s: float = 600.0, poll_s: float = 20.0) -> None:
     import threading
 
     ready = threading.Event()
+    err: list = []
 
     def probe():
-        jax.devices()
-        ready.set()
+        try:
+            jax.devices()
+        except Exception as e:  # surface init errors, don't spin on them
+            err.append(e)
+        finally:
+            ready.set()
 
     threading.Thread(target=probe, daemon=True).start()
     t0 = time.time()
     while time.time() - t0 < timeout_s:
         if ready.wait(poll_s):
+            if err:
+                print(f"# ERROR: device backend init failed: {err[0]!r}",
+                      file=sys.stderr)
+                sys.exit(1)
             return
         print(f"# waiting for device backend "
               f"({time.time() - t0:.0f}s)...", file=sys.stderr)

@@ -492,9 +492,20 @@ def build_fixed_pose_model(
                     tvec=t_w2c, camera_id=cam_id_of[key], name=name)
                 next_img += 1
 
+    # distance prefilter: each FOV triangle fits in a circle around its
+    # apex of radius max corner distance, so apexes farther apart than
+    # r_i + r_j cannot overlap — drops the exact polygon clip from
+    # O(n^2) full pairs to the near neighbors only
     pairs: List[Tuple[str, str]] = []
-    for i in range(len(views)):
-        for j in range(i + 1, len(views)):
+    if views:
+        apexes = np.stack([v[1][0] for v in views])  # [n, 2]
+        radii = np.stack([
+            np.linalg.norm(v[1][1:] - v[1][0], axis=1).max() for v in views
+        ])
+        d2 = ((apexes[:, None] - apexes[None, :]) ** 2).sum(-1)
+        thresh2 = (radii[:, None] + radii[None, :]) ** 2
+        cand = np.argwhere(np.triu(d2 <= thresh2, k=1))
+        for i, j in cand:
             if convex_overlap_area(views[i][1], views[j][1]) > 0.0:
                 pairs.append((views[i][0], views[j][0]))
 

@@ -35,6 +35,8 @@ def _node_arrays(
     n = int(aux.num_alive)
     means = np.asarray(node.means[:n], np.float32)
     scales = np.asarray(node.scales[:n], np.float32)
+    if scales.shape[1] == 1:  # isotropic marbles: untie for the 3DGS layout
+        scales = np.repeat(scales, 3, axis=1)
     quats = np.asarray(node.quats[:n], np.float32)
     opac = np.asarray(node.opacities[:n, 0], np.float32)
     dc = np.asarray(node.features_dc[:n], np.float32)

@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import sys
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +27,11 @@ def main(argv=None):
     ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
     args = ap.parse_args(argv)
 
-    sys.path.insert(0, "/root/repo")
+    # bench.py lives at the repo root (not packaged); resolve relative to
+    # this checkout so the tool works from any cwd
+    repo_root = str(Path(__file__).resolve().parents[2])
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
     import bench
     from mtgs_tpu.core.camera import camera_to_gsplat_viewmat
     from mtgs_tpu.raster import RasterizeConfig, binning, rasterize

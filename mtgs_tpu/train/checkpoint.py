@@ -85,8 +85,11 @@ def load_checkpoint_partial(path: str | Path, template: Dict[str, Any]) -> Dict[
     full = dict(_pack_empty(template))
     for key in md.keys():
         if key not in full:
+            # abstract templates: skipped keys (opt_state, densify, ...)
+            # are neither allocated on host nor read from disk beyond
+            # metadata
             full[key] = jax.tree.map(
-                lambda m: np.zeros(m.shape, m.dtype), md[key]
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), md[key]
             )
     out = ckptr.restore(path, full)
     return _unpack_empty({k: out[k] for k in template}, template)

@@ -192,10 +192,16 @@ def test_dense_segment_sum_kernel():
     np.testing.assert_allclose(np.asarray(out)[:, n + 1:], 0.0, atol=0)
 
 
-def test_pallas_interpret_parity_fwd_bwd():
+@pytest.mark.parametrize("db_dma", [False, True])
+def test_pallas_interpret_parity_fwd_bwd(db_dma, monkeypatch):
     """The Pallas blend kernels themselves (interpret mode) vs the XLA
-    twin — forward render and full parameter gradients. CPU coverage of
-    the TPU-only code path."""
+    twin — forward render and full parameter gradients, both the
+    single-buffer and the MTGS_DB_DMA double-buffered variants. CPU
+    coverage of the TPU-only code path."""
+    if db_dma:
+        monkeypatch.setenv("MTGS_DB_DMA", "1")
+    else:
+        monkeypatch.delenv("MTGS_DB_DMA", raising=False)
     scene = make_scene(n=150, seed=3)
     gw = jax.random.normal(jax.random.key(9), (H, W))
 
