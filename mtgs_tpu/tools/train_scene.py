@@ -144,6 +144,8 @@ def main():
     ap.add_argument("--width", type=int, default=960)
     ap.add_argument("--height", type=int, default=540)
     ap.add_argument("--balanced-sampler", action="store_true")
+    ap.add_argument("--save-every", type=int, default=0,
+                    help="periodic checkpoint interval (0 = final only)")
     ap.add_argument("--stage-scales", type=float, nargs="*", default=None,
                     help="multi-resolution ladder: equal step spans per "
                          "scale, e.g. 0.25 0.5 1.0")
@@ -154,7 +156,8 @@ def main():
     from mtgs_tpu.data.loader import batch_from_sample, data_iterator, SampleCache
     from mtgs_tpu.data.nuplan import parse_scene
     from mtgs_tpu.eval.pipeline import evaluate_scene
-    from mtgs_tpu.train.checkpoint import save_checkpoint
+    from mtgs_tpu.train.checkpoint import (
+        save_checkpoint, save_checkpoint_rotating)
     from mtgs_tpu.train.trainer import Trainer
 
     out = Path(args.out)
@@ -193,9 +196,14 @@ def main():
               " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items())
                        if k in ("total_loss", "psnr", "gaussian_count")),
               flush=True)
+        if args.save_every and step and step % args.save_every == 0:
+            save_checkpoint_rotating(out, trainer.state, trainer.aux, step)
 
-    trainer.train(args.steps, log_every=100, callback=log)
-    save_checkpoint(out / f"step-{args.steps:09d}", trainer.state, trainer.aux)
+    trainer.train(args.steps, log_every=(args.save_every or 100),
+                  callback=log)
+    # final checkpoint: optimizer state stripped (ref custom_trainer.py)
+    save_checkpoint(out / f"step-{args.steps:09d}", trainer.state,
+                    trainer.aux, keep_optimizer=False)
     # run metadata so eval_setup / render tools can reload this run
     # standalone (the reference's config.yml, `render.py:229`)
     (out / "run_config.json").write_text(json.dumps(dict(

@@ -162,3 +162,38 @@ def import_torch_checkpoint(path: str | Path) -> Dict[str, Any]:
             if m2:
                 nodes.setdefault(m2.group(1), {})["instance_trans"] = arr
     return {"step": step, "nodes": nodes, **extras}
+
+
+def save_checkpoint_rotating(
+    out_dir: str | Path,
+    state,
+    aux,
+    step: int,
+    *,
+    keep: int = 1,
+    keep_optimizer: bool = True,
+    retries: int = 3,
+    backoff_s: float = 2.0,
+) -> Path:
+    """`step-{step:09d}` save with retry + latest-only retention
+    (ref `save_checkpoint`, `custom_trainer.py:138-181`: exponential
+    backoff on transient FS errors, older checkpoints deleted)."""
+    import shutil
+    import time as _time
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    path = out_dir / f"step-{step:09d}"
+    delay = backoff_s
+    for attempt in range(retries):
+        try:
+            save_checkpoint(path, state, aux, keep_optimizer=keep_optimizer)
+            break
+        except Exception:
+            if attempt == retries - 1:
+                raise
+            _time.sleep(delay)
+            delay *= 2
+    for old in sorted(out_dir.glob("step-*"))[:-keep]:
+        shutil.rmtree(old, ignore_errors=True)
+    return path

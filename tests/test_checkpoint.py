@@ -123,3 +123,23 @@ def test_partial_restore_params_only(tmp_path):
     np.testing.assert_allclose(
         np.asarray(restored["aux"].background.alive),
         np.asarray(aux.background.alive))
+
+
+def test_rotating_checkpoint_retention(tmp_path):
+    from mtgs_tpu.data.synthetic import build_scene_model, make_synthetic_scene
+    from mtgs_tpu.train import control as ctrl
+    from mtgs_tpu.train.checkpoint import save_checkpoint_rotating
+    from mtgs_tpu.train.trainer import TrainState
+
+    scene = make_synthetic_scene(seed=0, width=32, height=32, n_travels=1,
+                                 n_frames=2, n_bg=50, n_instance=0)
+    params, aux = build_scene_model(scene, with_instances=False)
+    state = TrainState(
+        params=params, opt_state=None,
+        densify={"background": ctrl.DensifyState.zeros(params.background.capacity)},
+        step=jnp.asarray(0, jnp.int32), key=jax.random.key(0))
+    for s in (100, 200, 300):
+        save_checkpoint_rotating(tmp_path, state, aux, s, keep=1,
+                                 keep_optimizer=False)
+    left = sorted(p.name for p in tmp_path.glob("step-*"))
+    assert left == ["step-000000300"]
