@@ -146,6 +146,8 @@ def main():
     ap.add_argument("--balanced-sampler", action="store_true")
     ap.add_argument("--save-every", type=int, default=0,
                     help="periodic checkpoint interval (0 = final only)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest step-* checkpoint in --out")
     ap.add_argument("--stage-scales", type=float, nargs="*", default=None,
                     help="multi-resolution ladder: equal step spans per "
                          "scale, e.g. 0.25 0.5 1.0")
@@ -188,6 +190,34 @@ def main():
                       optim_config=optimizer_table(args.steps),
                       data_factory=factory, resolution_stages=stages)
 
+    done_steps = 0
+    if args.resume:
+        ckpts = sorted(out.glob("step-*"))
+        if ckpts:
+            from mtgs_tpu.train.checkpoint import load_checkpoint
+
+            template = {
+                "params": trainer.state.params,
+                "densify": trainer.state.densify,
+                "step": jnp.zeros((), jnp.int32),
+                "aux": trainer.aux,
+                "opt_state": trainer.state.opt_state,
+            }
+            try:
+                restored = load_checkpoint(ckpts[-1], template)
+            except Exception:
+                # final (stripped) checkpoints carry no optimizer state
+                template.pop("opt_state")
+                restored = load_checkpoint(ckpts[-1], template)
+                restored["opt_state"] = trainer.state.opt_state
+            trainer.state = trainer.state.replace(
+                params=restored["params"], densify=restored["densify"],
+                step=jnp.asarray(restored["step"], jnp.int32),
+                opt_state=restored["opt_state"])
+            trainer.aux = restored["aux"]
+            done_steps = int(restored["step"])
+            print(f"[train_scene] resumed from {ckpts[-1].name}")
+
     t0 = time.time()
 
     def log(step, metrics):
@@ -199,8 +229,8 @@ def main():
         if args.save_every and step and step % args.save_every == 0:
             save_checkpoint_rotating(out, trainer.state, trainer.aux, step)
 
-    trainer.train(args.steps, log_every=(args.save_every or 100),
-                  callback=log)
+    trainer.train(max(args.steps - done_steps, 0),
+                  log_every=(args.save_every or 100), callback=log)
     # final checkpoint: optimizer state stripped (ref custom_trainer.py)
     save_checkpoint(out / f"step-{args.steps:09d}", trainer.state,
                     trainer.aux, keep_optimizer=False)

@@ -155,3 +155,33 @@ def test_resolution_ladder_stage_switch():
     losses = [float(h["total_loss"]) for h in hist]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_checkpoint_resume_continues_training(scene, tmp_path):
+    """Full-state resume (params+optimizer+densify+step): the
+    reference's `_load_checkpoint` behavior (custom_trainer.py:183-212)."""
+    from mtgs_tpu.data.synthetic import batch_iterator
+    from mtgs_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    t1 = make_trainer(scene)
+    t1.train(3)
+    save_checkpoint(tmp_path / "ck", t1.state, t1.aux)
+
+    t2 = make_trainer(scene)
+    template = {
+        "params": jax.tree.map(np.zeros_like, t2.state.params),
+        "densify": jax.tree.map(np.zeros_like, t2.state.densify),
+        "step": np.zeros((), np.int32),
+        "aux": jax.tree.map(np.zeros_like, t2.aux),
+        "opt_state": jax.tree.map(np.zeros_like, t2.state.opt_state),
+    }
+    restored = load_checkpoint(tmp_path / "ck", template)
+    t2.state = t2.state.replace(
+        params=restored["params"], densify=restored["densify"],
+        step=jnp.asarray(restored["step"], jnp.int32),
+        opt_state=restored["opt_state"])
+    t2.aux = restored["aux"]
+    assert int(t2.state.step) == 3
+    hist = t2.train(2)
+    assert int(t2.state.step) == 5
+    assert np.isfinite([float(h["total_loss"]) for h in hist]).all()
