@@ -207,9 +207,14 @@ def bin_gaussians(
         tcounts > 0, (tile_heads + tcounts + CHUNK - 1) // CHUNK, 0
     ).astype(jnp.int32)
 
-    # Slots >= total carry the last live gaussian's id with zero-valued
-    # gradients (zero-filled blend outputs), so downstream segment sums
-    # are unaffected; the capacity pad region gets the N sentinel.
+    # Invariant actually relied on downstream: slots >= total carry SOME
+    # depth-sorted gaussian id (a zero-pair/culled one when any exist; on
+    # the Pallas expand path possibly several different window-truncated
+    # ids clamped to N-1) whose gradient rows are EXACTLY ZERO
+    # (zero-filled blend outputs), so segment sums are unaffected. Do NOT
+    # assume dead slots repeat "the last live id" or that sorted gidx is
+    # gap-free; only the zero-gradient property is guaranteed. The
+    # capacity pad region gets the N sentinel.
     gidx = jnp.concatenate(
         [src_sorted, jnp.full((cap - I,), N, jnp.int32)]
     )

@@ -148,9 +148,15 @@ def refine_node(
     big = scale_max > cfg.densify_size_thresh
 
     if do_densify:
-        splits = high & big
+        # screen-size oversize widens the SPLIT criterion but still
+        # requires high accumulated gradient (ref
+        # `vanilla_gaussian_splatting.py:500-516`: `splits |= max2d >
+        # split_screen_size` then `splits &= high_grads`) — otherwise
+        # converged large splats re-split unconditionally every pass
+        big_split = big
         if use_screen_size:
-            splits = splits | ((state.max_2dsize > cfg.split_screen_size) & alive)
+            big_split = big_split | (state.max_2dsize > cfg.split_screen_size)
+        splits = high & big_split
         dups = high & (~big)
     else:
         splits = jnp.zeros((cap,), bool)
@@ -178,7 +184,12 @@ def refine_node(
         + [jnp.ones(cap, jnp.int32)] * ns
         + [jnp.full((cap,), 2, jnp.int32)]
     )
-    cand_valid = jnp.concatenate([keep] + [splits] * ns + [dups])
+    # children inherit the parent's opacity; the reference culls the
+    # CONCATENATED set by alpha in the same pass, so sub-threshold
+    # children must not be emitted at all
+    alpha_ok = jax.nn.sigmoid(params.opacities[:, 0]) >= cfg.cull_alpha_thresh
+    cand_valid = jnp.concatenate(
+        [keep] + [splits & alpha_ok] * ns + [dups & alpha_ok])
 
     # stable partition: valid rows to the front, preserving order
     order = jnp.argsort(~cand_valid, stable=True)

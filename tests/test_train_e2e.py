@@ -185,3 +185,54 @@ def test_checkpoint_resume_continues_training(scene, tmp_path):
     hist = t2.train(2)
     assert int(t2.state.step) == 5
     assert np.isfinite([float(h["total_loss"]) for h in hist]).all()
+
+
+def test_screen_size_split_requires_high_grad():
+    """Ref vanilla_gaussian_splatting.py:500-516: `splits &= high_grads`
+    applies to the screen-size criterion too — converged oversize splats
+    must not re-split."""
+    from mtgs_tpu.data.synthetic import build_scene_model, make_synthetic_scene
+
+    scene = make_synthetic_scene(seed=0, width=32, height=32, n_travels=1,
+                                 n_frames=1, n_bg=50, n_instance=0)
+    params, aux = build_scene_model(scene, with_instances=False)
+    cap = params.background.capacity
+    n = int(aux.background.num_alive)
+
+    st = ctrl.DensifyState.zeros(cap)
+    st = st.replace(
+        vis_counts=jnp.ones((cap,)),
+        xys_grad_norm=jnp.zeros((cap,)),          # zero gradients
+        max_2dsize=jnp.full((cap,), 500.0),       # huge on screen
+    )
+    out = ctrl.refine_node(
+        jax.random.key(0), params.background, aux.background,
+        jax.tree.map(jnp.zeros_like, params.background),
+        jax.tree.map(jnp.zeros_like, params.background),
+        st, ctrl.ControlConfig(), jnp.asarray(600, jnp.int32),
+        do_densify=True, do_cull_big=False, use_screen_size=True)
+    # no splits: population unchanged (nothing added, nothing culled)
+    assert int(out.aux.num_alive) == n
+
+
+def test_densify_children_respect_alpha_cull():
+    """Children of sub-cull-alpha parents are not emitted (the
+    reference culls the concatenated set in the same pass)."""
+    from mtgs_tpu.data.synthetic import build_scene_model, make_synthetic_scene
+
+    scene = make_synthetic_scene(seed=0, width=32, height=32, n_travels=1,
+                                 n_frames=1, n_bg=50, n_instance=0)
+    params, aux = build_scene_model(scene, with_instances=False)
+    node = params.background
+    cap = node.capacity
+    # all parents below the alpha cull threshold but with huge gradients
+    node = node.replace(opacities=jnp.full((cap, 1), -8.0))
+    st = ctrl.DensifyState.zeros(cap)
+    st = st.replace(vis_counts=jnp.ones((cap,)),
+                    xys_grad_norm=jnp.full((cap,), 10.0))
+    out = ctrl.refine_node(
+        jax.random.key(0), node, aux.background,
+        jax.tree.map(jnp.zeros_like, node), jax.tree.map(jnp.zeros_like, node),
+        st, ctrl.ControlConfig(), jnp.asarray(600, jnp.int32),
+        do_densify=True, do_cull_big=False, use_screen_size=False)
+    assert int(out.aux.num_alive) == 0  # all culled, no children emitted
