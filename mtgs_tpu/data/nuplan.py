@@ -119,6 +119,9 @@ class InstanceInfo:
     trans: np.ndarray              # [F_travel, 3]
     in_frame_mask: np.ndarray      # [F_travel] bool
     is_static: bool
+    # lidar-pc token per pose row — aligns poses onto the SPLIT's frame
+    # rows (eval_2hz / manual_split subsample them)
+    frame_tokens: List[str] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -134,6 +137,8 @@ class ParsedScene:
     seed_rgb: Optional[np.ndarray] = None
     instances: List[InstanceInfo] = dataclasses.field(default_factory=list)
     num_frame_rows: int = 0
+    # (travel_id, frame token) -> global frame row of THIS split
+    frame_row_of_token: Dict = dataclasses.field(default_factory=dict)
 
 
 def load_video_scene_dict(path: str | Path) -> dict:
@@ -229,7 +234,12 @@ def parse_scene(
         elif split != "train" and eval_2hz:
             infos = infos[:-1][::5] + infos[-1:]
 
-        tindex = travel_index_of_id.get(travel_id, 0)
+        # unseen traversal -> chamfer-nearest train traversal's embedding
+        # (the reference's default `nearest_travel` eval fallback,
+        # `multi_color_gaussian_splatting.py:103-117` + mapping built at
+        # `nuplan_dataparser.py:148-165`)
+        tindex = travel_index_of_id.get(
+            travel_id, travel_index_of_id.get(nearest.get(travel_id), 0))
         for fi in infos:
             row = len(frame_ts_rows)
             row_of[(travel_id, fi["token"])] = row
@@ -313,6 +323,7 @@ def parse_scene(
             data_root, voxel_size=voxel_size
         )
         scene.instances = load_instances(data_root, vsd, train_ids, row_of)
+    scene.frame_row_of_token = dict(row_of)
     return scene
 
 
@@ -402,5 +413,6 @@ def load_instances(
                 travel_id=travel_id,
                 quats=t["quats"], trans=t["trans"], in_frame_mask=t["mask"],
                 is_static=bool(disp < static_thresh),
+                frame_tokens=[fi["token"] for fi in infos],
             ))
     return out

@@ -110,7 +110,9 @@ def image_metrics(
     `mtgs_scene_graph.py:747-805,1010-1123`): psnr, ssim, cc_psnr + depth."""
     out = dict(
         psnr=masked_psnr(pred_appearance, gt, mask),
-        ssim=ssim(gt, pred, mask),
+        # the reference scores SSIM on the appearance-corrected render
+        # too (`get_image_metrics_and_images`, :1030-1047)
+        ssim=ssim(gt, pred_appearance, mask),
     )
     if color_corrected:
         m = mask.astype(pred.dtype)

@@ -51,11 +51,15 @@ class GaussianNodeParams:
 
     @property
     def multicolor(self) -> bool:
-        return self.features_adapters.shape[1] > 0
+        # T axis is second-to-last in BOTH layouts: [cap, T, 3] and
+        # stacked [I, cap, T, 3] (shape[1] would read `cap` there)
+        return self.features_adapters.shape[-2] > 0
 
     @property
     def multi_feature_rest(self) -> bool:
-        return self.features_rest.ndim == 4
+        # per-traversal rest has exactly one more axis than adapters:
+        # [cap(,T),K-1,3] vs adapters [cap,T,3]; holds for stacked nodes
+        return self.features_rest.ndim == self.features_adapters.ndim + 1
 
 
 @struct.dataclass

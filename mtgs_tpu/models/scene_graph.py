@@ -167,10 +167,12 @@ def _multicolor_features(
         rest = p.features_rest.mean(axis=1) if p.multi_feature_rest else p.features_rest
     elif mode == "null":
         dc = p.features_dc
+        # only the PER-TRAVERSAL rest is nulled; a shared rest stays
+        # (ref multi_color_gaussian_splatting.py:85-87)
         rest = (
             jnp.zeros_like(p.features_rest[:, 0])
             if p.multi_feature_rest
-            else jnp.zeros_like(p.features_rest)
+            else p.features_rest
         )
     else:
         raise ValueError(f"unknown travel_mode {mode}")
@@ -230,10 +232,19 @@ def _instance_pose(
         q = jnp.take(inst_quats, view.frame_idx, axis=1)   # [I, 4]
         tr = jnp.take(inst_trans, view.frame_idx, axis=1)  # [I, 3]
         gate = jnp.take(aux.present, view.frame_idx, axis=1)
+    # Static single-pose mode (ref rigid_node.py:100-104): the builders
+    # broadcast the mean in-frame pose over all of the instance's OWN
+    # traversal's rows with present=1 there, so gradient ties to one
+    # anchor row and visibility stays traversal-gated (the reference
+    # renders a node only when travel_id matches, get_gaussians :258).
     static = aux.is_static[:, None]
-    q = static * inst_quats[:, 0] + (1 - static) * q
-    tr = static * inst_trans[:, 0] + (1 - static) * tr
-    gate = jnp.maximum(gate, aux.is_static)  # static instances always visible
+    anchor = jnp.argmax(aux.present, axis=1)  # first present row
+    q_st = jnp.take_along_axis(inst_quats, anchor[:, None, None], axis=1)[:, 0]
+    t_st = jnp.take_along_axis(inst_trans, anchor[:, None, None], axis=1)[:, 0]
+    q = static * q_st + (1 - static) * q
+    tr = static * t_st + (1 - static) * tr
+    # no visibility override: `present` (1 across the static instance's
+    # traversal, 0 elsewhere) already encodes the travel gate
     return quat_normalize(q), tr, gate
 
 

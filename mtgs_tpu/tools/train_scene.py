@@ -55,12 +55,38 @@ def build_model_from_parsed(scene, method_cfg, sample_cfg):
             q[:, 0] = 1.0
             t = np.zeros((F, 3), np.float32)
             pr = np.zeros((F,), np.float32)
-            # map per-travel frame arrays onto global frame rows
-            rows = np.where(scene.travel_of_frame == scene.travel_index_of_id[info.travel_id])[0]
-            m = min(len(rows), len(info.quats))
-            q[rows[:m]] = info.quats[:m]
-            t[rows[:m]] = info.trans[:m]
-            pr[rows[:m]] = info.in_frame_mask[:m].astype(np.float32)
+            # map poses onto THIS split's frame rows by token — positional
+            # mapping breaks under eval_2hz/manual_split subsampling
+            if info.frame_tokens and scene.frame_row_of_token:
+                for f, tok in enumerate(info.frame_tokens):
+                    row = scene.frame_row_of_token.get((info.travel_id, tok))
+                    if row is not None:
+                        q[row] = info.quats[f]
+                        t[row] = info.trans[f]
+                        pr[row] = float(info.in_frame_mask[f])
+            else:  # legacy positional fallback
+                rows = np.where(
+                    scene.travel_of_frame
+                    == scene.travel_index_of_id[info.travel_id])[0]
+                m = min(len(rows), len(info.quats))
+                q[rows[:m]] = info.quats[:m]
+                t[rows[:m]] = info.trans[:m]
+                pr[rows[:m]] = info.in_frame_mask[:m].astype(np.float32)
+            if info.is_static and info.in_frame_mask.any():
+                # single-pose mode (ref rigid_node.py:100-104): mean
+                # in-frame pose, visible across its WHOLE traversal
+                mask = info.in_frame_mask
+                qs = info.quats[mask]
+                qs = qs * np.sign(np.sum(qs * qs[:1], axis=1, keepdims=True))
+                mq = qs.mean(0)
+                mq /= max(np.linalg.norm(mq), 1e-9)
+                mt = info.trans[mask].mean(0)
+                trav_rows = np.where(
+                    scene.travel_of_frame
+                    == scene.travel_index_of_id[info.travel_id])[0]
+                q[trav_rows] = mq
+                t[trav_rows] = mt
+                pr[trav_rows] = 1.0
             quats.append(q)
             trans.append(t)
             present.append(pr)

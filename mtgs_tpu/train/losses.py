@@ -37,16 +37,19 @@ class LossConfig(struct.PyTreeNode):
     depth_loss_type: str = struct.field(pytree_node=False, default="InverseL1")
     depth_source: str = struct.field(pytree_node=False, default="lidar")
     ncc_lambda: float = struct.field(pytree_node=False, default=0.1)
-    ncc_patch_size: int = struct.field(pytree_node=False, default=7)
-    ncc_stride: int = struct.field(pytree_node=False, default=7)
+    # ref mtgs_scene_graph.py:104-106 defaults (not overridden by MTGS.py)
+    ncc_patch_size: int = struct.field(pytree_node=False, default=32)
+    ncc_stride: int = struct.field(pytree_node=False, default=16)
     normal_lambda: float = struct.field(pytree_node=False, default=0.1)
     use_normal_loss: bool = struct.field(pytree_node=False, default=False)
     use_normal_tv_loss: bool = struct.field(pytree_node=False, default=False)
     two_d_gaussians: bool = struct.field(pytree_node=False, default=True)
     adapter_lambda: float = struct.field(pytree_node=False, default=0.0)
     oob_lambda: float = struct.field(pytree_node=False, default=1.0)
-    oob_tolerance: float = struct.field(pytree_node=False, default=0.1)
+    oob_tolerance: float = struct.field(pytree_node=False, default=1.5)  # ref :125
     sharp_shape_reg_lambda: float = struct.field(pytree_node=False, default=1.0)
+    # applied every Nth step only (ref mtgs_scene_graph.py:969-981)
+    sharp_shape_reg_step_interval: int = struct.field(pytree_node=False, default=10)
     sharp_shape_max_ratio: float = struct.field(pytree_node=False, default=10.0)
     camera_opt_trans_penalty: float = struct.field(pytree_node=False, default=1e-2)
     camera_opt_rot_penalty: float = struct.field(pytree_node=False, default=1e-3)

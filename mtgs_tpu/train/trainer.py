@@ -200,8 +200,17 @@ def _scene_losses(
     if lcfg.two_d_gaussians:
         losses["two_d_reg"] = loss_lib.two_d_reg(g["scales"], alive)
     if lcfg.sharp_shape_reg_lambda > 0:
-        losses["sharp_shape"] = lcfg.sharp_shape_reg_lambda * loss_lib.sharp_shape_reg(
-            g["scales"], alive, lcfg.sharp_shape_max_ratio, lcfg.two_d_gaussians
+        # interval-gated: the reference applies this regularizer only
+        # every sharp_shape_reg_step_interval steps (:969-981)
+        every = jnp.asarray(
+            step % lcfg.sharp_shape_reg_step_interval == 0,
+            g["scales"].dtype,
+        )
+        losses["sharp_shape"] = every * (
+            lcfg.sharp_shape_reg_lambda * loss_lib.sharp_shape_reg(
+                g["scales"], alive, lcfg.sharp_shape_max_ratio,
+                lcfg.two_d_gaussians,
+            )
         )
     if lcfg.oob_lambda > 0 and params.instances is not None:
         losses["oob"] = lcfg.oob_lambda * loss_lib.oob_loss(
@@ -422,7 +431,7 @@ class Trainer:
             @functools.partial(jax.jit, donate_argnums=(0,))
             def refine(state: TrainState, aux: SceneAux):
                 do_densify, do_cull_big, use_screen = flags
-                key, k1, k2, k3 = jax.random.split(state.key, 4)
+                key, k1, k2, k3, k4 = jax.random.split(state.key, 5)
                 adam_state, sched_state = state.opt_state
                 mu, nu = adam_state.mu, adam_state.nu
                 params = state.params
@@ -490,6 +499,46 @@ class Trainer:
                     )
                     densify["instances"] = outi.state
 
+                if params.deformables is not None:
+                    # deformable nodes refine like rigid ones (the
+                    # reference registers refinement callbacks for every
+                    # gaussian model, mtgs_scene_graph.py:1143-1145);
+                    # canonical means sampled on split stay canonical
+                    I = params.deformables.node.means.shape[0]
+                    keys = jax.random.split(k4, I)
+                    vref = jax.vmap(
+                        functools.partial(
+                            ctrl.refine_node,
+                            cfg=cc,
+                            step=state.step,
+                            do_densify=do_densify,
+                            do_cull_big=do_cull_big,
+                            use_screen_size=use_screen,
+                        )
+                    )
+                    daux_node = NodeAux(
+                        alive=aux.deformables.alive,
+                        num_alive=aux.deformables.num_alive,
+                    )
+                    outd = vref(
+                        keys, params.deformables.node, daux_node,
+                        mu.deformables.node, nu.deformables.node,
+                        densify["deformables"],
+                    )
+                    params = params.replace(
+                        deformables=params.deformables.replace(node=outd.params)
+                    )
+                    mu = mu.replace(
+                        deformables=mu.deformables.replace(node=outd.mu))
+                    nu = nu.replace(
+                        deformables=nu.deformables.replace(node=outd.nu))
+                    new_aux = new_aux.replace(
+                        deformables=aux.deformables.replace(
+                            alive=outd.aux.alive, num_alive=outd.aux.num_alive
+                        )
+                    )
+                    densify["deformables"] = outd.state
+
                 opt_state = (adam_state._replace(mu=mu, nu=nu), sched_state)
                 new_state = TrainState(
                     params=params, opt_state=opt_state, densify=densify,
@@ -529,6 +578,15 @@ class Trainer:
                 params = params.replace(instances=params.instances.replace(node=ni))
                 mu = mu.replace(instances=mu.instances.replace(node=mui))
                 nu = nu.replace(instances=nu.instances.replace(node=nui))
+            if params.deformables is not None:
+                nd, mud, nud = ctrl.reset_opacities(
+                    params.deformables.node, mu.deformables.node,
+                    nu.deformables.node, cc
+                )
+                params = params.replace(
+                    deformables=params.deformables.replace(node=nd))
+                mu = mu.replace(deformables=mu.deformables.replace(node=mud))
+                nu = nu.replace(deformables=nu.deformables.replace(node=nud))
             return state.replace(
                 params=params, opt_state=(adam_state._replace(mu=mu, nu=nu), sched_state)
             )

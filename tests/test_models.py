@@ -98,13 +98,30 @@ def test_instance_pose_gating_and_gather():
 
 
 def test_instance_pose_static_mode():
+    """Static single-pose mode (ref rigid_node.py:100-104): pose pinned
+    to the anchor (first present) row; visibility stays travel/frame
+    gated by `present` (builders broadcast present=1 over the static
+    instance's own traversal)."""
     quats, trans = _poses()
-    aux = _inst_aux().replace(is_static=jnp.asarray([1.0, 0.0]))
+    # static instance 0: builders broadcast its mean pose + present=1
+    # across its traversal rows
+    aux = _inst_aux().replace(
+        is_static=jnp.asarray([1.0, 0.0]),
+        present=jnp.asarray([[1, 1, 1, 1], [1, 1, 1, 1]], jnp.float32),
+    )
     q, t, gate = _instance_pose(quats, trans, aux, _view(frame=2), interp=False)
-    # static instance pinned to frame-0 pose and always visible
+    # pinned to the anchor row's pose at every frame
     np.testing.assert_allclose(np.asarray(t[0]), np.asarray(trans[0, 0]))
     assert float(gate[0]) == 1.0
     np.testing.assert_allclose(np.asarray(t[1]), np.asarray(trans[1, 2]))
+    # absent from the traversal (present=0 rows) -> gated off, pose from
+    # its own anchor row, NOT forced visible at the origin
+    aux2 = _inst_aux().replace(
+        is_static=jnp.asarray([1.0, 0.0]),
+        present=jnp.asarray([[0, 0, 0, 0], [1, 1, 1, 1]], jnp.float32),
+    )
+    _, _, gate2 = _instance_pose(quats, trans, aux2, _view(frame=2), interp=False)
+    assert float(gate2[0]) == 0.0
 
 
 def test_instance_pose_slerp_midpoint():

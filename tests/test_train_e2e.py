@@ -236,3 +236,42 @@ def test_densify_children_respect_alpha_cull():
         st, ctrl.ControlConfig(), jnp.asarray(600, jnp.int32),
         do_densify=True, do_cull_big=False, use_screen_size=False)
     assert int(out.aux.num_alive) == 0  # all culled, no children emitted
+
+
+def test_deformable_training_and_refine():
+    """Deformable nodes train, refine (densify stats consumed), and
+    opacity-reset like every other gaussian model (ref
+    mtgs_scene_graph.py:1143-1145 registers callbacks for all models)."""
+    from mtgs_tpu.data.synthetic import build_scene_model, make_synthetic_scene
+    from mtgs_tpu.models.deform import init_deform_mlp
+    from mtgs_tpu.models.scene_graph import DeformableParams, InstanceAux
+
+    scene = make_synthetic_scene(seed=0, width=48, height=48, n_travels=1,
+                                 n_frames=2, n_bg=200, n_instance=40)
+    params, aux = build_scene_model(scene, with_instances=True)
+    # convert the rigid instance block into a deformable one
+    inst, iaux = params.instances, aux.instances
+    deform = DeformableParams(
+        node=inst.node, quats=inst.quats, trans=inst.trans,
+        embeddings=jnp.zeros((inst.node.means.shape[0], 16)),
+        mlp=init_deform_mlp(jax.random.key(0)),
+    )
+    params = params.replace(instances=None, deformables=deform)
+    aux = aux.replace(instances=None, deformables=iaux)
+
+    cfg = TrainerConfig(
+        width=48, height=48, max_intersections=1 << 13, max_steps=100,
+        backend="xla", predict_normals=False,
+        control=ctrl.ControlConfig(
+            densify_from_iter=2, refine_every=4, stop_split_at=100,
+            reset_alpha_every=2, sh_degree_interval=10,
+            densify_grad_thresh=1e-6),  # aggressive: force densify
+    )
+    cfg = cfg.replace(scene=cfg.scene.replace(deform_enabled=True))
+    trainer = Trainer(cfg, params, aux, batch_iterator(scene))
+    n0 = int(trainer.aux.deformables.num_alive.sum())
+    hist = trainer.train(10)
+    losses = [float(h["total_loss"]) for h in hist]
+    assert np.isfinite(losses).all()
+    n1 = int(trainer.aux.deformables.num_alive.sum())
+    assert n1 != n0  # refine actually touched the deformable population
