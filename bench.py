@@ -110,9 +110,12 @@ def main():
     K = jnp.asarray(
         [[800.0, 0, WIDTH / 2], [0, 800.0, HEIGHT / 2], [0, 0, 1.0]], jnp.float32)
 
+    import os
+
     cfg = RasterizeConfig(
         width=WIDTH, height=HEIGHT, max_intersections=MAX_ISECT,
         rasterize_mode="antialiased", render_mode="RGB+ED", backend="auto",
+        fused=os.environ.get("MTGS_FUSED", "0") != "0",
     )
     target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32)
 

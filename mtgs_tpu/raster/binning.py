@@ -68,6 +68,84 @@ class BinnedIntersections(NamedTuple):
     n_intersections: jax.Array
 
 
+class FusedBinning(NamedTuple):
+    """Index-only binning for the fused attribute-payload sort path
+    (`rasterize.py` fused path + `expand_fused.py`). All index math; the
+    pair expansion itself runs fused with the attribute gather.
+
+    Attributes:
+        perm: [N] depth-order permutation of the input gaussians.
+        inv_perm: [N] inverse of perm.
+        offsets: [N] int32 exclusive pair-count prefix (sorted order).
+        packed: [N] int32 tmin_x | tmin_y << 11 | span_x << 22 (sorted).
+        gal: [I / 512] int32 128-aligned table-window anchor per pair
+            block (the owner range of block k lies in
+            [gal[k], gal[k] + 768)).
+        n_intersections: [] int32 true pair count.
+    """
+
+    perm: jax.Array
+    inv_perm: jax.Array
+    offsets: jax.Array
+    packed: jax.Array
+    gal: jax.Array
+    n_intersections: jax.Array
+
+
+def bin_gaussians_index(
+    means2d: jax.Array,
+    radii: jax.Array,
+    depths: jax.Array,
+    valid: jax.Array,
+    *,
+    width: int,
+    height: int,
+    tile_size: int,
+    max_intersections: int,
+) -> FusedBinning:
+    """Depth sort + per-gaussian spans + window anchors, NO expansion:
+    the index structure the fused path feeds to `expand_fused`."""
+    from mtgs_tpu.raster.expand_fused import ALIGN, B, WINA
+
+    means2d = jax.lax.stop_gradient(means2d)
+    depths = jax.lax.stop_gradient(depths)
+    N = means2d.shape[0]
+    tiles_x = -(-width // tile_size)
+    tiles_y = -(-height // tile_size)
+    I = max_intersections
+
+    rf = radii.astype(jnp.float32)
+    tmin_x = jnp.clip(jnp.floor((means2d[:, 0] - rf) / tile_size), 0, tiles_x).astype(jnp.int32)
+    tmax_x = jnp.clip(jnp.ceil((means2d[:, 0] + rf) / tile_size), 0, tiles_x).astype(jnp.int32)
+    tmin_y = jnp.clip(jnp.floor((means2d[:, 1] - rf) / tile_size), 0, tiles_y).astype(jnp.int32)
+    tmax_y = jnp.clip(jnp.ceil((means2d[:, 1] + rf) / tile_size), 0, tiles_y).astype(jnp.int32)
+    span_x = jnp.clip(tmax_x - tmin_x, 0, 255)
+    span_y = jnp.maximum(tmax_y - tmin_y, 0)
+    live_in = valid & (radii > 0)
+    counts_in = jnp.where(live_in, span_x * span_y, 0).astype(jnp.int32)
+    packed_in = tmin_x | (tmin_y << 11) | (span_x << 22)
+
+    depth_key = jnp.where(counts_in > 0, depths, jnp.inf)
+    _, perm, packed, counts = jax.lax.sort(
+        (depth_key, jnp.arange(N, dtype=jnp.int32), packed_in, counts_in),
+        num_keys=1, is_stable=True,
+    )
+    offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    total = offsets[-1] + counts[-1]
+
+    bounds = jnp.arange(I // B, dtype=jnp.int32) * B
+    gstart = jnp.searchsorted(offsets, bounds, side="right").astype(jnp.int32) - 1
+    n_pad = ((N + ALIGN - 1) // ALIGN) * ALIGN + WINA
+    gal = jnp.clip((jnp.clip(gstart, 0, N - 1) // ALIGN) * ALIGN,
+                   0, n_pad - WINA)
+
+    _, inv_perm = jax.lax.sort((perm, jnp.arange(N, dtype=jnp.int32)), num_keys=1)
+    return FusedBinning(
+        perm=perm, inv_perm=inv_perm, offsets=offsets, packed=packed,
+        gal=gal, n_intersections=total,
+    )
+
+
 def padded_capacity(max_intersections: int, num_tiles: int = 0) -> int:
     """Static capacity of the intersection buffer: max_intersections plus
     one CHUNK of spill slack (a tile's final partial chunk may read/write

@@ -34,7 +34,7 @@ from mtgs_tpu.raster import binning
 from mtgs_tpu.raster.blend_pallas import blend_backward_pallas, blend_forward_pallas
 from mtgs_tpu.raster.blend_reference import blend_reference
 from mtgs_tpu.raster.blend_xla import blend_backward_xla, blend_forward_xla
-from mtgs_tpu.raster.chunk_math import MAX_CH, NUM_GEOM
+from mtgs_tpu.raster.chunk_math import CHUNK, MAX_CH, NUM_GEOM
 from mtgs_tpu.raster.projection import project_gaussians
 
 
@@ -51,6 +51,7 @@ class RasterizeConfig(NamedTuple):
     max_intersections: int = 1 << 20
     backend: str = "auto"                # "auto" | "pallas" | "xla" | "reference"
     interpret: bool = False              # run Pallas in interpreter mode
+    fused: bool = False                  # attr-payload sort path (pallas only)
 
     @property
     def tiles_x(self) -> int:
@@ -234,6 +235,123 @@ def _gather_bwd(statics, res, cot):
 _gather_intersections.defvjp(_gather_fwd, _gather_bwd)
 
 
+# ------------------------------------------------------------------------
+# Fused path: attributes ride the pair sort as payload operands.
+#
+# The classic path's top data-movement costs are two full-capacity random
+# row gathers (`table[perm]`, `table_pad[gidx]`). Here every permutation
+# is a multi-operand `lax.sort` (sequential-access merge passes) and the
+# depth-order expansion is a Pallas windowed one-hot kernel
+# (expand_fused.py):
+#   fwd: sort(inv_perm, table cols)      -> depth-sorted table
+#        expand_fused                    -> per-slot key/src/attr columns
+#        sort(key, attr cols)            -> tile-sorted slab (+ ranges)
+#   bwd: sort(slot, grad cols)           -> depth-slot-ordered grads
+#        dense_segment_sum keyed by src  -> per-sorted-gaussian sums
+#        sort(perm, sum cols)            -> input-order gradients
+# ------------------------------------------------------------------------
+
+class _FusedStatics(NamedTuple):
+    c_total: int
+    max_intersections: int
+    num_tiles: int
+    tiles_x: int
+    interpret: bool
+
+
+def _round8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_fused(statics, table, binfo, sink):
+    out, _ = _gather_fused_fwd(statics, table, binfo, sink)
+    return out
+
+
+def _gather_fused_fwd(statics, table, binfo, sink):
+    from mtgs_tpu.raster.expand_fused import ALIGN, WINA, expand_fused
+
+    n, nw = table.shape
+    I = statics.max_intersections
+    cap = binning.padded_capacity(I)
+    n_pad = ((n + ALIGN - 1) // ALIGN) * ALIGN + WINA
+
+    # 1. value depth sort (replaces the table[perm] row gather)
+    srt = jax.lax.sort(
+        (binfo.inv_perm, *(table[:, j] for j in range(nw))),
+        num_keys=1, is_stable=False,
+    )
+    pad0 = n_pad - n
+    rows = [jnp.pad(r, (0, pad0)) for r in srt[1:]]
+    rows.append(jnp.pad(binfo.offsets.astype(jnp.float32), (0, pad0),
+                        constant_values=float(I)))
+    rows.append(jnp.pad((binfo.packed & 0x7FF).astype(jnp.float32), (0, pad0)))
+    rows.append(jnp.pad((binfo.packed >> 11).astype(jnp.float32), (0, pad0)))
+    w_tab = _round8(nw + 3)
+    rows += [jnp.zeros((n_pad,), jnp.float32)] * (w_tab - nw - 3)
+    tab_am = jnp.stack(rows)
+
+    # 2. fused expansion: per-slot sort key + owner + exact attr columns
+    key, src, attrs = expand_fused(
+        tab_am, binfo.gal, binfo.n_intersections, I,
+        nw=nw, tiles_x=statics.tiles_x, num_tiles=statics.num_tiles,
+        n_gauss=n, interpret=statics.interpret,
+    )
+
+    # 3. pair sort with attribute payloads (key encodes (tile, depth))
+    srt2 = jax.lax.sort(
+        (key, *(attrs[j] for j in range(nw))), num_keys=1, is_stable=False
+    )
+    key_s = srt2[0]
+    w_pad = _round8(nw)
+    slab_t = jnp.pad(
+        jnp.stack(list(srt2[1:]) + [jnp.zeros((I,), jnp.float32)] * (w_pad - nw)),
+        ((0, 0), (0, cap - I)),
+    )
+    return (slab_t, key_s), (key_s, src, binfo, n)
+
+
+def _gather_fused_bwd(statics, res, cot):
+    from mtgs_tpu.raster.expand_fused import slot_bits
+    from mtgs_tpu.raster.segment_sum import dense_segment_sum
+
+    key_s, src, binfo, n = res
+    g_slab_t, _ = cot
+    nw = NUM_GEOM + statics.c_total
+    I = statics.max_intersections
+
+    # back to depth-slot order (slot is a permutation: non-stable is exact)
+    slot = key_s & ((1 << slot_bits(I)) - 1)
+    srt3 = jax.lax.sort(
+        (slot, *(g_slab_t[j, :I] for j in range(nw))),
+        num_keys=1, is_stable=False,
+    )
+    s = srt3[1:]
+
+    # MXU windowed segment sum keyed by the slot-order owner ids (the
+    # fused gate guarantees I % 512 == 0; interpret covers CPU tests)
+    w_pad = _round8(nw + 2)
+    rows = jnp.concatenate(
+        [
+            jnp.stack([*s, jnp.abs(s[0]), jnp.abs(s[1])], axis=0),
+            jnp.zeros((w_pad - nw - 2, I), s[0].dtype),
+        ]
+    )
+    sums_t = dense_segment_sum(rows, src, n, interpret=statics.interpret)
+    sum_rows = [sums_t[j, :n] for j in range(nw + 2)]
+
+    # sorted-gaussian order -> input order (replaces the inv_perm gather)
+    srt4 = jax.lax.sort((binfo.perm, *sum_rows), num_keys=1, is_stable=False)
+    outs = srt4[1:]
+    g_table = jnp.stack(outs[:nw], axis=-1)
+    absgrad = jnp.stack(outs[nw: nw + 2], axis=-1)
+    return (g_table, jax.tree.map(_f0, binfo), absgrad)
+
+
+_gather_fused.defvjp(_gather_fused_fwd, _gather_fused_bwd)
+
+
 def rasterize(
     means: jax.Array,
     quats: jax.Array,
@@ -316,12 +434,6 @@ def rasterize(
     # rows) can never contribute — drop them before binning so padded
     # capacities don't cost intersections.
     live = proj.valid & (jax.lax.stop_gradient(op_eff) > 0)
-    binned = binning.bin_gaussians(
-        means2d, proj.radii, proj.depths, live,
-        width=config.width, height=config.height,
-        tile_size=config.tile_size,
-        max_intersections=config.max_intersections,
-    )
 
     # Pack per-gaussian rows; the gather to intersection order has a
     # custom scatter-free VJP that also yields the absgrad densify signal
@@ -329,19 +441,61 @@ def rasterize(
     table = jnp.concatenate(
         [means2d, proj.conics, op_eff[:, None], cols], axis=-1
     )  # [N, 6 + c_total]
-    gather_statics = _GatherStatics(
-        c_total=c_total, max_intersections=config.max_intersections
+
+    from mtgs_tpu.raster.expand_fused import fused_fits, slot_bits
+
+    num_tiles = config.tiles_x * config.tiles_y
+    use_fused = (
+        config.fused and backend == "pallas"
+        and fused_fits(config.max_intersections, num_tiles, N)
     )
-    slab_t = _gather_intersections(gather_statics, table, binned, absgrad_sink)
+    if use_fused:
+        binfo = binning.bin_gaussians_index(
+            means2d, proj.radii, proj.depths, live,
+            width=config.width, height=config.height,
+            tile_size=config.tile_size,
+            max_intersections=config.max_intersections,
+        )
+        fstat = _FusedStatics(
+            c_total=c_total, max_intersections=config.max_intersections,
+            num_tiles=num_tiles, tiles_x=config.tiles_x,
+            interpret=config.interpret,
+        )
+        slab_t, key_s = _gather_fused(fstat, table, binfo, absgrad_sink)
+        q = jnp.arange(num_tiles + 1, dtype=jnp.int32) << slot_bits(
+            config.max_intersections
+        )
+        bounds = jnp.searchsorted(key_s, q, side="left").astype(jnp.int32)
+        starts, tcounts = bounds[:-1], bounds[1:] - bounds[:-1]
+        tile_offsets = (starts // CHUNK) * CHUNK
+        tile_heads = starts - tile_offsets
+        tile_nchunks = jnp.where(
+            tcounts > 0, (tile_heads + tcounts + CHUNK - 1) // CHUNK, 0
+        ).astype(jnp.int32)
+        n_isect = binfo.n_intersections
+    else:
+        binned = binning.bin_gaussians(
+            means2d, proj.radii, proj.depths, live,
+            width=config.width, height=config.height,
+            tile_size=config.tile_size,
+            max_intersections=config.max_intersections,
+        )
+        gather_statics = _GatherStatics(
+            c_total=c_total, max_intersections=config.max_intersections
+        )
+        slab_t = _gather_intersections(
+            gather_statics, table, binned, absgrad_sink
+        )
+        tile_offsets, tile_heads = binned.tile_offsets, binned.tile_heads
+        tcounts, tile_nchunks = binned.tile_counts, binned.tile_nchunks
+        n_isect = binned.n_intersections
 
     statics = _BlendStatics(
         tile_size=config.tile_size, tiles_x=config.tiles_x,
         backend=backend, interpret=config.interpret, c_total=c_total,
     )
     rgb_tiles, t_final = _blend(
-        statics, slab_t,
-        binned.tile_offsets, binned.tile_heads,
-        binned.tile_counts, binned.tile_nchunks,
+        statics, slab_t, tile_offsets, tile_heads, tcounts, tile_nchunks,
     )
 
     ts = config.tile_size
@@ -358,7 +512,7 @@ def rasterize(
     render = _finalize(img, alpha, config, c_total)
     info = dict(
         means2d=means2d, radii=proj.radii, depths=proj.depths,
-        n_intersections=binned.n_intersections,
+        n_intersections=n_isect,
     )
     return render, alpha, info
 

@@ -1,0 +1,92 @@
+"""Micro-benchmarks for the rasterizer's index-movement primitives (TPU).
+
+Decides data-movement strategy questions the module docstrings answer
+with rough rates (gathers ~7 ns/row, "sorts ~4x cheaper per element"):
+measures, on the live chip at bench.py sizes, the actual cost of
+
+  * k-operand `lax.sort` at intersection capacity (k = 1..18) and at
+    gaussian count,
+  * random row gathers (the `table_pad[gidx]` pattern) at both sizes,
+  * `jnp.stack` of sorted rows and the blocked Pallas transposes.
+
+Used to choose between "move attributes through the pair sort as
+payload operands" vs "sort indices only + random-gather the attributes"
+(rasterize.py `_gather_fwd`). Run: `python -m mtgs_tpu.tools.microbench_ops`.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(name, fn, *args, iters=10):
+    f = jax.jit(fn)
+    out = jax.block_until_ready(f(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jax.block_until_ready(f(*args))
+    dt = (time.perf_counter() - t0) / iters * 1e3
+    print(f"{name:44s} {dt:8.3f} ms")
+    return dt
+
+
+def main():
+    cap = 2 << 20          # intersection capacity (bench.py MAX_ISECT)
+    n = 1_000_000          # gaussian count
+    w = 16                 # slab width
+    rng = np.random.default_rng(0)
+
+    key_cap = jnp.asarray(rng.integers(0, 1 << 30, cap, dtype=np.int32))
+    key_n = jnp.asarray(rng.integers(0, 1 << 30, n, dtype=np.int32))
+    rows_cap = [jnp.asarray(rng.normal(size=cap).astype(np.float32))
+                for _ in range(18)]
+    rows_n = [jnp.asarray(rng.normal(size=n).astype(np.float32))
+              for _ in range(13)]
+    gidx = jnp.asarray(rng.integers(0, n, cap, dtype=np.int32))
+    inv_perm = jnp.asarray(rng.permutation(n).astype(np.int32))
+    table = jnp.asarray(rng.normal(size=(n, w)).astype(np.float32))
+    table_t = table.T.copy()
+
+    for k in (1, 2, 3, 5, 11, 17):
+        timeit(f"lax.sort {k}-operand @cap={cap}",
+               lambda key, *rs: jax.lax.sort((key, *rs), num_keys=1,
+                                             is_stable=False),
+               key_cap, *rows_cap[: k - 1])
+    timeit("lax.sort 2-operand STABLE @cap",
+           lambda key, r: jax.lax.sort((key, r), num_keys=1, is_stable=True),
+           key_cap, rows_cap[0])
+    for k in (2, 5, 11, 13):
+        timeit(f"lax.sort {k}-operand @n={n}",
+               lambda key, *rs: jax.lax.sort((key, *rs), num_keys=1,
+                                             is_stable=False),
+               key_n, *rows_n[: k - 1])
+
+    timeit(f"row gather [cap]x{w} (table_pad[gidx])",
+           lambda t, g: t[g], table, gidx)
+    timeit("row gather [cap]x1 (int compose)",
+           lambda t, g: t[g], table[:, 0], gidx)
+    timeit(f"row gather [n]x{w} (table[perm])",
+           lambda t, g: t[g], table, inv_perm)
+    timeit("col gather attr-major [16, n] -> [16, cap]",
+           lambda t, g: t[:, g], table_t, gidx)
+
+    timeit("stack 16 rows -> [16, cap]",
+           lambda *rs: jnp.stack(rs), *rows_cap[:16])
+
+    if jax.default_backend() == "tpu":
+        from mtgs_tpu.raster.blend_pallas import (attr_major_to_rows,
+                                                  rows_to_attr_major)
+
+        big = jnp.zeros((cap, w), jnp.float32)
+        timeit("pallas transpose rows->attr [cap, 16]",
+               rows_to_attr_major, big)
+        timeit("pallas transpose attr->rows [16, cap]",
+               attr_major_to_rows, jnp.zeros((w, cap), jnp.float32))
+
+
+if __name__ == "__main__":
+    main()

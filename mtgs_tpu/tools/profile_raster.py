@@ -25,6 +25,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
+    ap.add_argument("--fused", action="store_true",
+                    help="profile the attr-payload-sort path")
     args = ap.parse_args(argv)
 
     # bench.py lives at the repo root (not packaged); resolve relative to
@@ -49,7 +51,8 @@ def main(argv=None):
         [[800.0, 0, W / 2], [0, 800.0, H / 2], [0, 0, 1.0]], jnp.float32)
     cfg = RasterizeConfig(
         width=W, height=H, max_intersections=bench.MAX_ISECT,
-        rasterize_mode="antialiased", render_mode="RGB+ED", backend="auto")
+        rasterize_mode="antialiased", render_mode="RGB+ED", backend="auto",
+        fused=args.fused)
     target = jnp.zeros((H, W, 3), jnp.float32)
     params = (means, quats, scales, opac, colors)
 
