@@ -25,10 +25,10 @@ import numpy as np
 
 def timeit(name, fn, *args, iters=10):
     f = jax.jit(fn)
-    out = jax.block_until_ready(f(*args))
+    jax.block_until_ready(f(*args))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jax.block_until_ready(f(*args))
+    outs = [f(*args) for _ in range(iters)]   # queued; one final block
+    jax.block_until_ready(outs)               # hides per-call tunnel RTT
     dt = (time.perf_counter() - t0) / iters * 1e3
     print(f"{name:44s} {dt:8.3f} ms")
     return dt

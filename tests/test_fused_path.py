@@ -85,6 +85,30 @@ def test_fused_tap_and_absgrad_parity():
     assert (s2 + 1e-7 >= np.abs(t2) - 1e-5).all()
 
 
+def test_fused_wide_channels():
+    """7-channel colors + depth (the predict_normals training layout,
+    nw = 13): exercises the non-multiple-of-8 attr row count."""
+    means, quats, scales, opac, colors, viewmat, K = make_scene(n=200, seed=9)
+    wide = jnp.concatenate(
+        [colors, jax.random.uniform(jax.random.key(1), (200, 4))], axis=-1
+    )
+    scene = (means, quats, scales, opac, wide, viewmat, K)
+    r1, a1, _ = rasterize(*scene, cfg(render_mode="RGB+ED"))
+    r2, a2, _ = rasterize(*scene, fused_cfg(render_mode="RGB+ED"))
+    np.testing.assert_allclose(r1, r2, atol=1e-5, rtol=1e-5)
+    g1 = jax.grad(
+        lambda s: jnp.sum(rasterize(*s, cfg(render_mode="RGB+ED"))[0] ** 2)
+    )(scene)
+    g2 = jax.grad(
+        lambda s: jnp.sum(rasterize(*s, fused_cfg(render_mode="RGB+ED"))[0] ** 2)
+    )(scene)
+    for ga, gb in zip(g1, g2):
+        scale = np.maximum(np.abs(np.asarray(ga)).max(), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(gb) / scale, np.asarray(ga) / scale, atol=1e-4
+        )
+
+
 def test_fused_empty_scene():
     """All-culled scene: sentinel keys only, zero render, zero grads."""
     means, quats, scales, opac, colors, viewmat, K = make_scene(n=64, seed=8)
