@@ -68,82 +68,46 @@ class BinnedIntersections(NamedTuple):
     n_intersections: jax.Array
 
 
-class FusedBinning(NamedTuple):
-    """Index-only binning for the fused attribute-payload sort path
-    (`rasterize.py` fused path + `expand_fused.py`). All index math; the
-    pair expansion itself runs fused with the attribute gather.
-
-    Attributes:
-        perm: [N] depth-order permutation of the input gaussians.
-        inv_perm: [N] inverse of perm.
-        offsets: [N] int32 exclusive pair-count prefix (sorted order).
-        packed: [N] int32 tmin_x | tmin_y << 11 | span_x << 22 (sorted).
-        gal: [I / 512] int32 128-aligned table-window anchor per pair
-            block (the owner range of block k lies in
-            [gal[k], gal[k] + 768)).
-        n_intersections: [] int32 true pair count.
-    """
-
-    perm: jax.Array
-    inv_perm: jax.Array
-    offsets: jax.Array
-    packed: jax.Array
-    gal: jax.Array
-    n_intersections: jax.Array
-
-
-def bin_gaussians_index(
+def tile_spans(
     means2d: jax.Array,
     radii: jax.Array,
-    depths: jax.Array,
     valid: jax.Array,
     *,
     width: int,
     height: int,
     tile_size: int,
-    max_intersections: int,
-) -> FusedBinning:
-    """Depth sort + per-gaussian spans + window anchors, NO expansion:
-    the index structure the fused path feeds to `expand_fused`."""
-    from mtgs_tpu.raster.expand_fused import ALIGN, B, WINA
-
-    means2d = jax.lax.stop_gradient(means2d)
-    depths = jax.lax.stop_gradient(depths)
-    N = means2d.shape[0]
+):
+    """Per-gaussian tile-span words in input order (order-independent
+    math shared by both binning paths): returns (packed, counts) where
+    packed = tmin_x | tmin_y << 11 | span_x << 22."""
     tiles_x = -(-width // tile_size)
     tiles_y = -(-height // tile_size)
-    I = max_intersections
-
     rf = radii.astype(jnp.float32)
     tmin_x = jnp.clip(jnp.floor((means2d[:, 0] - rf) / tile_size), 0, tiles_x).astype(jnp.int32)
     tmax_x = jnp.clip(jnp.ceil((means2d[:, 0] + rf) / tile_size), 0, tiles_x).astype(jnp.int32)
     tmin_y = jnp.clip(jnp.floor((means2d[:, 1] - rf) / tile_size), 0, tiles_y).astype(jnp.int32)
     tmax_y = jnp.clip(jnp.ceil((means2d[:, 1] + rf) / tile_size), 0, tiles_y).astype(jnp.int32)
+    # span_x capped at 255 so it bit-packs (a gaussian spanning >255 tile
+    # columns would cover a >8000px-wide footprint)
     span_x = jnp.clip(tmax_x - tmin_x, 0, 255)
     span_y = jnp.maximum(tmax_y - tmin_y, 0)
-    live_in = valid & (radii > 0)
-    counts_in = jnp.where(live_in, span_x * span_y, 0).astype(jnp.int32)
-    packed_in = tmin_x | (tmin_y << 11) | (span_x << 22)
+    live = valid & (radii > 0)
+    counts = jnp.where(live, span_x * span_y, 0).astype(jnp.int32)
+    packed = tmin_x | (tmin_y << 11) | (span_x << 22)
+    return packed, counts
 
-    depth_key = jnp.where(counts_in > 0, depths, jnp.inf)
-    _, perm, packed, counts = jax.lax.sort(
-        (depth_key, jnp.arange(N, dtype=jnp.int32), packed_in, counts_in),
-        num_keys=1, is_stable=True,
-    )
-    offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
-    total = offsets[-1] + counts[-1]
 
-    bounds = jnp.arange(I // B, dtype=jnp.int32) * B
+def window_anchors(offsets: jax.Array, max_intersections: int) -> jax.Array:
+    """128-aligned table-window anchor per 512-pair block for
+    `expand_fused`: block k's owners lie in [gal[k], gal[k] + 768)."""
+    from mtgs_tpu.raster.expand_fused import ALIGN, B, WINA
+
+    N = offsets.shape[0]
+    bounds = jnp.arange(max_intersections // B, dtype=jnp.int32) * B
     gstart = jnp.searchsorted(offsets, bounds, side="right").astype(jnp.int32) - 1
     n_pad = ((N + ALIGN - 1) // ALIGN) * ALIGN + WINA
-    gal = jnp.clip((jnp.clip(gstart, 0, N - 1) // ALIGN) * ALIGN,
-                   0, n_pad - WINA)
-
-    _, inv_perm = jax.lax.sort((perm, jnp.arange(N, dtype=jnp.int32)), num_keys=1)
-    return FusedBinning(
-        perm=perm, inv_perm=inv_perm, offsets=offsets, packed=packed,
-        gal=gal, n_intersections=total,
-    )
+    return jnp.clip((jnp.clip(gstart, 0, N - 1) // ALIGN) * ALIGN,
+                    0, n_pad - WINA)
 
 
 def padded_capacity(max_intersections: int, num_tiles: int = 0) -> int:
@@ -188,19 +152,9 @@ def bin_gaussians(
     # math — computing them before the depth sort means the sort feeds
     # ONE packed [N, 2] gather instead of separate means2d/radii/valid
     # permutation gathers, the former top cost of this stage) ----------
-    rf = radii.astype(jnp.float32)
-    tmin_x = jnp.clip(jnp.floor((means2d[:, 0] - rf) / tile_size), 0, tiles_x).astype(jnp.int32)
-    tmax_x = jnp.clip(jnp.ceil((means2d[:, 0] + rf) / tile_size), 0, tiles_x).astype(jnp.int32)
-    tmin_y = jnp.clip(jnp.floor((means2d[:, 1] - rf) / tile_size), 0, tiles_y).astype(jnp.int32)
-    tmax_y = jnp.clip(jnp.ceil((means2d[:, 1] + rf) / tile_size), 0, tiles_y).astype(jnp.int32)
-    # span_x capped at 255 so it bit-packs below (a gaussian spanning
-    # >255 tile columns would cover a >8000px-wide footprint)
-    span_x = jnp.clip(tmax_x - tmin_x, 0, 255)
-    span_y = jnp.maximum(tmax_y - tmin_y, 0)
-    live_in = valid & (radii > 0)
-    counts_in = jnp.where(live_in, span_x * span_y, 0).astype(jnp.int32)
-    # One bit-packed (tmin_x | tmin_y | span_x) word per gaussian.
-    packed_in = tmin_x | (tmin_y << 11) | (span_x << 22)
+    packed_in, counts_in = tile_spans(
+        means2d, radii, valid, width=width, height=height, tile_size=tile_size
+    )
 
     # ---- 2. global depth sort (span words ride as sort payload — a
     # payload operand is far cheaper than a separate [N] permutation

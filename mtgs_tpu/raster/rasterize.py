@@ -236,19 +236,21 @@ _gather_intersections.defvjp(_gather_fwd, _gather_bwd)
 
 
 # ------------------------------------------------------------------------
-# Fused path: attributes ride the pair sort as payload operands.
+# Fused path: attributes ride the sorts as payload operands.
 #
 # The classic path's top data-movement costs are two full-capacity random
-# row gathers (`table[perm]`, `table_pad[gidx]`). Here every permutation
-# is a multi-operand `lax.sort` (sequential-access merge passes) and the
-# depth-order expansion is a Pallas windowed one-hot kernel
-# (expand_fused.py):
-#   fwd: sort(inv_perm, table cols)      -> depth-sorted table
-#        expand_fused                    -> per-slot key/src/attr columns
-#        sort(key, attr cols)            -> tile-sorted slab (+ ranges)
-#   bwd: sort(slot, grad cols)           -> depth-slot-ordered grads
-#        dense_segment_sum keyed by src  -> per-sorted-gaussian sums
-#        sort(perm, sum cols)            -> input-order gradients
+# row gathers (`table[perm]`, `table_pad[gidx]`) plus an inv_perm gather
+# in the backward. Here every permutation is a multi-operand `lax.sort`
+# (sequential-access merge passes) and the depth-order expansion is a
+# Pallas windowed one-hot kernel (expand_fused.py):
+#   fwd: ONE sort((depth, iota), spans + table cols)  -> depth-sorted
+#        table + permutation (iota doubles as the stability tiebreaker
+#        AND the perm payload)
+#        expand_fused                     -> per-slot key/src/attr columns
+#        sort(key, attr cols)             -> tile-sorted slab (+ ranges)
+#   bwd: sort(slot, grad cols)            -> depth-slot-ordered grads
+#        dense_segment_sum keyed by src   -> per-sorted-gaussian sums
+#        sort(perm, sum cols)             -> input-order gradients
 # ------------------------------------------------------------------------
 
 class _FusedStatics(NamedTuple):
@@ -264,12 +266,12 @@ def _round8(x: int) -> int:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_fused(statics, table, binfo, sink):
-    out, _ = _gather_fused_fwd(statics, table, binfo, sink)
+def _gather_fused(statics, table, packed_in, counts_in, depths, sink):
+    out, _ = _gather_fused_fwd(statics, table, packed_in, counts_in, depths, sink)
     return out
 
 
-def _gather_fused_fwd(statics, table, binfo, sink):
+def _gather_fused_fwd(statics, table, packed_in, counts_in, depths, sink):
     from mtgs_tpu.raster.expand_fused import ALIGN, WINA, expand_fused
 
     n, nw = table.shape
@@ -277,24 +279,36 @@ def _gather_fused_fwd(statics, table, binfo, sink):
     cap = binning.padded_capacity(I)
     n_pad = ((n + ALIGN - 1) // ALIGN) * ALIGN + WINA
 
-    # 1. value depth sort (replaces the table[perm] row gather)
-    srt = jax.lax.sort(
-        (binfo.inv_perm, *(table[:, j] for j in range(nw))),
-        num_keys=1, is_stable=False,
+    # 1. ONE depth sort carrying the span words AND the attribute columns
+    # as payloads; (depth, iota) as a 2-key sort gives stable semantics
+    # without XLA's hidden stability tiebreaker operand, and the iota
+    # payload IS the depth permutation.
+    depth_key = jnp.where(
+        counts_in > 0, jax.lax.stop_gradient(depths), jnp.inf
     )
+    srt = jax.lax.sort(
+        (depth_key, jnp.arange(n, dtype=jnp.int32), packed_in, counts_in,
+         *(table[:, j] for j in range(nw))),
+        num_keys=2, is_stable=False,
+    )
+    perm, packed, counts = srt[1], srt[2], srt[3]
+    offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    total = offsets[-1] + counts[-1]
+    gal = binning.window_anchors(offsets, I)
+
     pad0 = n_pad - n
-    rows = [jnp.pad(r, (0, pad0)) for r in srt[1:]]
-    rows.append(jnp.pad(binfo.offsets.astype(jnp.float32), (0, pad0),
+    rows = [jnp.pad(r, (0, pad0)) for r in srt[4:]]
+    rows.append(jnp.pad(offsets.astype(jnp.float32), (0, pad0),
                         constant_values=float(I)))
-    rows.append(jnp.pad((binfo.packed & 0x7FF).astype(jnp.float32), (0, pad0)))
-    rows.append(jnp.pad((binfo.packed >> 11).astype(jnp.float32), (0, pad0)))
+    rows.append(jnp.pad((packed & 0x7FF).astype(jnp.float32), (0, pad0)))
+    rows.append(jnp.pad((packed >> 11).astype(jnp.float32), (0, pad0)))
     w_tab = _round8(nw + 3)
     rows += [jnp.zeros((n_pad,), jnp.float32)] * (w_tab - nw - 3)
     tab_am = jnp.stack(rows)
 
     # 2. fused expansion: per-slot sort key + owner + exact attr columns
     key, src, attrs = expand_fused(
-        tab_am, binfo.gal, binfo.n_intersections, I,
+        tab_am, gal, total, I,
         nw=nw, tiles_x=statics.tiles_x, num_tiles=statics.num_tiles,
         n_gauss=n, interpret=statics.interpret,
     )
@@ -309,15 +323,15 @@ def _gather_fused_fwd(statics, table, binfo, sink):
         jnp.stack(list(srt2[1:]) + [jnp.zeros((I,), jnp.float32)] * (w_pad - nw)),
         ((0, 0), (0, cap - I)),
     )
-    return (slab_t, key_s), (key_s, src, binfo, n)
+    return (slab_t, key_s, total), (key_s, src, perm, n)
 
 
 def _gather_fused_bwd(statics, res, cot):
     from mtgs_tpu.raster.expand_fused import slot_bits
     from mtgs_tpu.raster.segment_sum import dense_segment_sum
 
-    key_s, src, binfo, n = res
-    g_slab_t, _ = cot
+    key_s, src, perm, n = res
+    g_slab_t, _, _ = cot
     nw = NUM_GEOM + statics.c_total
     I = statics.max_intersections
 
@@ -342,11 +356,14 @@ def _gather_fused_bwd(statics, res, cot):
     sum_rows = [sums_t[j, :n] for j in range(nw + 2)]
 
     # sorted-gaussian order -> input order (replaces the inv_perm gather)
-    srt4 = jax.lax.sort((binfo.perm, *sum_rows), num_keys=1, is_stable=False)
+    srt4 = jax.lax.sort((perm, *sum_rows), num_keys=1, is_stable=False)
     outs = srt4[1:]
     g_table = jnp.stack(outs[:nw], axis=-1)
     absgrad = jnp.stack(outs[nw: nw + 2], axis=-1)
-    return (g_table, jax.tree.map(_f0, binfo), absgrad)
+    return (
+        g_table, _f0(perm), _f0(perm),
+        jnp.zeros((n,), jnp.float32), absgrad,
+    )
 
 
 _gather_fused.defvjp(_gather_fused_fwd, _gather_fused_bwd)
@@ -450,18 +467,19 @@ def rasterize(
         and fused_fits(config.max_intersections, num_tiles, N)
     )
     if use_fused:
-        binfo = binning.bin_gaussians_index(
-            means2d, proj.radii, proj.depths, live,
+        packed_in, counts_in = binning.tile_spans(
+            jax.lax.stop_gradient(means2d), proj.radii, live,
             width=config.width, height=config.height,
             tile_size=config.tile_size,
-            max_intersections=config.max_intersections,
         )
         fstat = _FusedStatics(
             c_total=c_total, max_intersections=config.max_intersections,
             num_tiles=num_tiles, tiles_x=config.tiles_x,
             interpret=config.interpret,
         )
-        slab_t, key_s = _gather_fused(fstat, table, binfo, absgrad_sink)
+        slab_t, key_s, n_isect = _gather_fused(
+            fstat, table, packed_in, counts_in, proj.depths, absgrad_sink
+        )
         q = jnp.arange(num_tiles + 1, dtype=jnp.int32) << slot_bits(
             config.max_intersections
         )
@@ -472,7 +490,6 @@ def rasterize(
         tile_nchunks = jnp.where(
             tcounts > 0, (tile_heads + tcounts + CHUNK - 1) // CHUNK, 0
         ).astype(jnp.int32)
-        n_isect = binfo.n_intersections
     else:
         binned = binning.bin_gaussians(
             means2d, proj.radii, proj.depths, live,
