@@ -165,9 +165,11 @@ def bin_gaussians(
     # consecutive ids, which the windowed segment-sum kernel
     # (segment_sum.py) relies on. -------------------------------------
     depth_key = jnp.where(counts_in > 0, depths, jnp.inf)
+    # (depth, iota) as an explicit 2-key pair = stable semantics without
+    # XLA's hidden stability-tiebreaker operand.
     _, perm, packed, counts = jax.lax.sort(
         (depth_key, jnp.arange(N, dtype=jnp.int32), packed_in, counts_in),
-        num_keys=1, is_stable=True,
+        num_keys=2, is_stable=False,
     )
     offsets = jnp.cumsum(counts) - counts  # exclusive
     total = offsets[-1] + counts[-1] if N > 0 else jnp.zeros((), jnp.int32)
@@ -217,9 +219,13 @@ def bin_gaussians(
         pair_ok = slot < total
         tile = jnp.where(pair_ok, tile, num_tiles)  # sentinel sorts last
 
-    # ---- 3. stable sort by tile id (preserves depth order in-tile) ---
+    # ---- 3. sort by tile id, depth order in-tile ---------------------
+    # Within a tile src strictly increases in expansion (depth) order, so
+    # (tile, src) as a 2-key non-stable sort reproduces the stable
+    # by-tile sort exactly, minus the hidden tiebreaker operand; ties on
+    # both keys exist only among dead sentinel slots (order irrelevant).
     tile_sorted, src_sorted = jax.lax.sort(
-        (tile, src), num_keys=1, is_stable=True
+        (tile, src), num_keys=2, is_stable=False
     )
 
     # ---- 4. per-tile ranges (UNALIGNED — no re-layout) ----------------
@@ -252,7 +258,10 @@ def bin_gaussians(
     )
 
     # inverse gaussian permutation (input index -> sorted index)
-    _, inv_perm = jax.lax.sort((perm, jnp.arange(N, dtype=jnp.int32)), num_keys=1)
+    # perm is a permutation (unique keys): stability is meaningless
+    _, inv_perm = jax.lax.sort(
+        (perm, jnp.arange(N, dtype=jnp.int32)), num_keys=1, is_stable=False
+    )
 
     return BinnedIntersections(
         perm=perm,
