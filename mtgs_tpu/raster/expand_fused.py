@@ -46,6 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .blend_pallas import _db_dma
+
 B = 512        # pair slots per grid step
 WINA = 768     # table-window width: 128-aligned anchor + <=127 head
                # skew + <=513 owners  ->  640, padded to a 128 multiple
@@ -61,11 +63,47 @@ def _kernel(gal_ref, tot_ref, tab_hbm, key_ref, src_ref, attr_ref,
     )
     cp.start()
     cp.wait()
+    _compute(tab_s[:], g0, k, tot_ref, key_ref, src_ref, attr_ref,
+             nw=nw, tiles_x=tiles_x, num_tiles=num_tiles,
+             n_gauss=n_gauss, sb=sb)
 
+
+def _kernel_db(gal_ref, tot_ref, tab_hbm, key_ref, src_ref, attr_ref,
+               tab_s, sem, *, nblocks, nw, tiles_x, num_tiles,
+               n_gauss, sb):
+    """Double-buffered variant (opt-in via MTGS_DB_DMA=1): block k+1's
+    window copy is issued before block k's math. The grid dimension is
+    sequential ("arbitrary") and scratch persists across steps, so the
+    prefetch issued at step k is ready by step k+1."""
+    k = pl.program_id(0)
+
+    def copy(j, buf):
+        g = pl.multiple_of(gal_ref[j], ALIGN)
+        return pltpu.make_async_copy(
+            tab_hbm.at[:, pl.ds(g, WINA)], tab_s.at[buf], sem.at[buf]
+        )
+
+    @pl.when(k == 0)
+    def _():
+        copy(0, 0).start()
+
+    @pl.when(k + 1 < nblocks)
+    def _():
+        copy(k + 1, (k + 1) % 2).start()
+
+    copy(k, k % 2).wait()
+    g0 = pl.multiple_of(gal_ref[k], ALIGN)
+    _compute(tab_s[k % 2], g0, k, tot_ref, key_ref, src_ref, attr_ref,
+             nw=nw, tiles_x=tiles_x, num_tiles=num_tiles,
+             n_gauss=n_gauss, sb=sb)
+
+
+def _compute(win, g0, k, tot_ref, key_ref, src_ref, attr_ref,
+             *, nw, tiles_x, num_tiles, n_gauss, sb):
     base = (k * B).astype(jnp.float32)
     s_col = base + jax.lax.broadcasted_iota(jnp.float32, (B, 1), 0)  # [B,1]
 
-    off_row = tab_s[nw: nw + 1]                                  # [1, WINA]
+    off_row = win[nw: nw + 1]                                    # [1, WINA]
     i1t = (off_row <= s_col).astype(jnp.float32)                 # [B, WINA]
     oht = i1t - jnp.concatenate(
         [i1t[:, 1:], jnp.zeros((B, 1), jnp.float32)], axis=1
@@ -73,7 +111,7 @@ def _kernel(gal_ref, tot_ref, tab_hbm, key_ref, src_ref, attr_ref,
 
     # exact one-hot copy of the owner's attribute rows: [nw, B]
     attrs = jax.lax.dot_general(
-        tab_s[0:nw], oht, (((1,), (1,)), ((), ())),
+        win[0:nw], oht, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -92,8 +130,8 @@ def _kernel(gal_ref, tot_ref, tab_hbm, key_ref, src_ref, attr_ref,
         return row - prev
 
     vals = jnp.concatenate(
-        [cnt, delta(tab_s[nw: nw + 1]), delta(tab_s[nw + 1: nw + 2]),
-         delta(tab_s[nw + 2: nw + 3]),
+        [cnt, delta(win[nw: nw + 1]), delta(win[nw + 1: nw + 2]),
+         delta(win[nw + 2: nw + 3]),
          jnp.zeros((4, WINA), jnp.float32)],
         axis=0,
     )                                                            # [8, WINA]
@@ -162,6 +200,7 @@ def expand_fused(
     assert tab_am.shape[1] % ALIGN == 0
     nblocks = I // B
     w_out = ((nw + 7) // 8) * 8
+    double_buffer = _db_dma()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,                # gal, total
@@ -173,13 +212,19 @@ def expand_fused(
             pl.BlockSpec((w_out, B), lambda i, gs, tt: (0, i)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((w_tab, WINA), jnp.float32),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM(
+                ((2, w_tab, WINA) if double_buffer else (w_tab, WINA)),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA((2,) if double_buffer else (1,)),
         ],
     )
+    kernel = functools.partial(
+        _kernel_db, nblocks=nblocks,
+    ) if double_buffer else _kernel
     key, src, attrs = pl.pallas_call(
         functools.partial(
-            _kernel, nw=nw, tiles_x=tiles_x, num_tiles=num_tiles,
+            kernel, nw=nw, tiles_x=tiles_x, num_tiles=num_tiles,
             n_gauss=n_gauss, sb=sb,
         ),
         grid_spec=grid_spec,

@@ -40,6 +40,28 @@ def test_fused_forward_parity(mode):
     assert float(a1.max()) > 0.5
 
 
+def test_fused_double_buffer_parity(monkeypatch):
+    """MTGS_DB_DMA=1 double-buffered expand_fused (+ db blend) vs the
+    single-buffer fused path: the db kernels only reorder DMA issue,
+    not math, so forward AND gradients must be bit-identical."""
+    scene = make_scene(n=250, seed=12)
+    gw = jax.random.normal(jax.random.key(13), (H, W))
+    c = fused_cfg(rasterize_mode="antialiased")
+
+    monkeypatch.delenv("MTGS_DB_DMA", raising=False)
+    r1, a1, _ = rasterize(*scene, c)
+    g1 = jax.grad(lambda s: _loss_fn(s, c, gw))(scene)
+
+    monkeypatch.setenv("MTGS_DB_DMA", "1")
+    r2, a2, _ = rasterize(*scene, c)
+    g2 = jax.grad(lambda s: _loss_fn(s, c, gw))(scene)
+
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    for ga, gb in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+
+
 def test_fused_forward_depth_mode():
     scene = make_scene(n=200, seed=4)
     r1, a1, _ = rasterize(*scene, cfg(render_mode="RGB+ED"))
