@@ -205,7 +205,7 @@ def blend_forward_pallas(
         num_scalar_prefetch=5,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((P, cm.NUM_GEOM), lambda t, *_: (0, 0)),
             pl.BlockSpec((CHUNK, CHUNK), lambda t, *_: (0, 0)),
         ],
@@ -484,17 +484,17 @@ def blend_backward_pallas(
         num_scalar_prefetch=4,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((P, cm.NUM_GEOM), lambda t, *_: (0, 0)),
             pl.BlockSpec((CHUNK, CHUNK), lambda t, *_: (0, 0)),
             pl.BlockSpec((1, ct, P), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, ct, P), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=(
             [

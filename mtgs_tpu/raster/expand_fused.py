@@ -205,7 +205,7 @@ def expand_fused(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,                # gal, total
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((1, B), lambda i, gs, tt: (i, 0)),
             pl.BlockSpec((1, B), lambda i, gs, tt: (i, 0)),
