@@ -64,6 +64,8 @@ run_step bench_classic       1800 -- python bench.py
 run_step bench_fused         1800 MTGS_FUSED=1 -- python bench.py
 run_step bench_classic_dbdma 1800 MTGS_DB_DMA=1 -- python bench.py
 run_step bench_fused_dbdma   1800 MTGS_FUSED=1 MTGS_DB_DMA=1 -- python bench.py
+run_step train_classic       2400 -- python -m mtgs_tpu.tools.bench_train
+run_step train_fused         2400 -- python -m mtgs_tpu.tools.bench_train --fused
 
 echo "=== batch complete ==="
 cat "$STATUS"

@@ -151,3 +151,18 @@ def test_render_interpolated_mosaic(tmp_path):
     from PIL import Image
     img = Image.open(paths[0])
     assert img.size == (64, 32)  # two 32px tiles side by side
+
+
+def test_bench_train_smoke(capsys):
+    """The train-throughput bench tool runs end-to-end and emits its JSON
+    summary line (tiny scene; the on-chip batch runs it at full scale)."""
+    from mtgs_tpu.tools.bench_train import main
+
+    main([
+        "--n-bg", "400", "--n-instance", "50", "--width", "64",
+        "--height", "64", "--max-isect", "8192", "--iters", "2",
+        "--backend", "xla",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[-1])
+    assert rec["unit"] == "iters/s" and rec["value"] > 0
