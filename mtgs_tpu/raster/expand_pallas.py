@@ -45,13 +45,14 @@ def _kernel(gstart_ref, tot_ref, off_col_ref, off_row_ref, lo_row_ref,
             hi_row_ref, tile_ref, src_ref, *, tiles_x, num_tiles, n_gauss):
     k = pl.program_id(0)
     base = (k * B).astype(jnp.float32)
-    s = base + jax.lax.broadcasted_iota(jnp.float32, (1, B), 1)   # [1, B]
+    s = base + jax.lax.broadcasted_iota(      # [1, B] (int iota: Mosaic
+        jnp.int32, (1, B), 1).astype(jnp.float32)  # has no f32 iota)
 
-    off_col = off_col_ref[...]                                    # [WIN, 1]
+    off_col = off_col_ref[0]                                      # [WIN, 1]
     i1 = (off_col <= s).astype(jnp.float32)                       # [WIN, B]
 
     def delta(row_ref):
-        row = row_ref[...]                                        # [1, WIN]
+        row = row_ref[0]                                          # [1, WIN]
         prev = jnp.concatenate(
             [jnp.zeros((1, 1), jnp.float32), row[:, :-1]], axis=1
         )
@@ -85,10 +86,10 @@ def _kernel(gstart_ref, tot_ref, off_col_ref, off_row_ref, lo_row_ref,
 
     total = tot_ref[0]
     live = s < total.astype(jnp.float32)
-    tile_ref[...] = jnp.where(
+    tile_ref[0] = jnp.where(
         live, tile, jnp.float32(num_tiles)).astype(jnp.int32)
     src = gstart_ref[k].astype(jnp.float32) + src_local
-    src_ref[...] = jnp.minimum(src, jnp.float32(n_gauss - 1)).astype(jnp.int32)
+    src_ref[0] = jnp.minimum(src, jnp.float32(n_gauss - 1)).astype(jnp.int32)
 
 
 def expand_pairs(
@@ -127,23 +128,28 @@ def expand_pairs(
             lambda st: jax.lax.dynamic_slice(arr, (st,), (WIN,))
         )(gstart)
 
-    off_row = win(off_pad)                    # [nblocks, WIN]
-    lo_row = win(lo_pad)
-    hi_row = win(hi_pad)
-    off_col = off_row.T                       # [WIN, nblocks]
+    # Row windows as [nblocks, 1, WIN] (and the column-vector window as
+    # [nblocks, WIN, 1]): Mosaic requires the last two block dims to be
+    # (8k, 128k) or equal to the array dims — (1, WIN) / (WIN, 1) blocks
+    # of 2-D matrices violate that, but with these 3-D layouts each
+    # block is exactly the array's own trailing dims.
+    off_row = win(off_pad)[:, None, :]        # [nblocks, 1, WIN]
+    lo_row = win(lo_pad)[:, None, :]
+    hi_row = win(hi_pad)[:, None, :]
+    off_col = win(off_pad)[:, :, None]        # [nblocks, WIN, 1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,                # gstart, total
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((WIN, 1), lambda i, gs, tt: (0, i)),
-            pl.BlockSpec((1, WIN), lambda i, gs, tt: (i, 0)),
-            pl.BlockSpec((1, WIN), lambda i, gs, tt: (i, 0)),
-            pl.BlockSpec((1, WIN), lambda i, gs, tt: (i, 0)),
+            pl.BlockSpec((1, WIN, 1), lambda i, gs, tt: (i, 0, 0)),
+            pl.BlockSpec((1, 1, WIN), lambda i, gs, tt: (i, 0, 0)),
+            pl.BlockSpec((1, 1, WIN), lambda i, gs, tt: (i, 0, 0)),
+            pl.BlockSpec((1, 1, WIN), lambda i, gs, tt: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, B), lambda i, gs, tt: (i, 0)),
-            pl.BlockSpec((1, B), lambda i, gs, tt: (i, 0)),
+            pl.BlockSpec((1, 1, B), lambda i, gs, tt: (i, 0, 0)),
+            pl.BlockSpec((1, 1, B), lambda i, gs, tt: (i, 0, 0)),
         ],
     )
     tile, src = pl.pallas_call(
@@ -152,8 +158,8 @@ def expand_pairs(
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nblocks, B), jnp.int32),
-            jax.ShapeDtypeStruct((nblocks, B), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks, 1, B), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks, 1, B), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

@@ -272,7 +272,9 @@ def _gather_fused(statics, table, packed_in, counts_in, depths, sink):
 
 
 def _gather_fused_fwd(statics, table, packed_in, counts_in, depths, sink):
-    from mtgs_tpu.raster.expand_fused import ALIGN, WINA, expand_fused
+    from mtgs_tpu.raster.expand_fused import (
+        ALIGN, WINA, expand_fused, table_index_rows,
+    )
 
     n, nw = table.shape
     I = statics.max_intersections
@@ -298,17 +300,15 @@ def _gather_fused_fwd(statics, table, packed_in, counts_in, depths, sink):
 
     pad0 = n_pad - n
     rows = [jnp.pad(r, (0, pad0)) for r in srt[4:]]
-    rows.append(jnp.pad(offsets.astype(jnp.float32), (0, pad0),
-                        constant_values=float(I)))
-    rows.append(jnp.pad((packed & 0x7FF).astype(jnp.float32), (0, pad0)))
-    rows.append(jnp.pad((packed >> 11).astype(jnp.float32), (0, pad0)))
-    w_tab = _round8(nw + 3)
-    rows += [jnp.zeros((n_pad,), jnp.float32)] * (w_tab - nw - 3)
+    idx_rows, base = table_index_rows(offsets, packed, n, n_pad, I, gal)
+    rows += idx_rows
+    w_tab = _round8(nw + 6)
+    rows += [jnp.zeros((n_pad,), jnp.float32)] * (w_tab - nw - 6)
     tab_am = jnp.stack(rows)
 
     # 2. fused expansion: per-slot sort key + owner + exact attr columns
     key, src, attrs = expand_fused(
-        tab_am, gal, total, I,
+        tab_am, gal, base, total, I,
         nw=nw, tiles_x=statics.tiles_x, num_tiles=statics.num_tiles,
         n_gauss=n, interpret=statics.interpret,
     )
