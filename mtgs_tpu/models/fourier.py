@@ -43,6 +43,16 @@ def fourier_features_dc(
     return jnp.einsum("nfc,f->nc", coeffs, basis)
 
 
+def init_fourier_dc(features_dc: jax.Array, fourier_dim: int) -> jax.Array:
+    """Lift static dc features [..., 3] to IDFT coefficients
+    [..., fourier_dim, 3] that reproduce them at every t: basis entry 0 is
+    cos(0)=1, so coefficient 0 carries the static dc and the higher
+    harmonics start at zero (matches the reference's reshape-init of
+    `features_dc` when `fourier_features_enabled`, `rigid_node.py:75-86`)."""
+    coeffs = jnp.zeros(features_dc.shape[:-1] + (fourier_dim, 3), features_dc.dtype)
+    return coeffs.at[..., 0, :].set(features_dc)
+
+
 def instance_velocities(
     quats: jax.Array,        # [I, F, 4] per-frame poses
     trans: jax.Array,        # [I, F, 3]

@@ -44,6 +44,11 @@ class GaussianNodeParams:
     opacities: jax.Array
     # [cap, T, 3] per-traversal dc adapters; zeros-[cap, 0, 3] for vanilla.
     features_adapters: jax.Array
+    # [cap, F_dim, 3] Fourier (IDFT) time-conditioned dc coefficients for
+    # rigid nodes (ref `rigid_node.py:217-236`); zeros-[cap, 0, 3] when
+    # disabled. Lives on the node so densification's row gather moves /
+    # grows it with every other per-gaussian leaf.
+    fourier_dc: jax.Array = None  # type: ignore[assignment]
 
     @property
     def capacity(self) -> int:
@@ -54,6 +59,10 @@ class GaussianNodeParams:
         # T axis is second-to-last in BOTH layouts: [cap, T, 3] and
         # stacked [I, cap, T, 3] (shape[1] would read `cap` there)
         return self.features_adapters.shape[-2] > 0
+
+    @property
+    def fourier(self) -> bool:
+        return self.fourier_dc is not None and self.fourier_dc.shape[-2] > 0
 
     @property
     def multi_feature_rest(self) -> bool:
@@ -101,6 +110,7 @@ def init_node_from_points(
     init_opacity: float = 0.1,
     seed: int = 0,
     isotropic: bool = False,
+    fourier_dim: int = 0,
 ) -> tuple[GaussianNodeParams, NodeAux]:
     """Seed a node from a colored point cloud.
 
@@ -115,6 +125,9 @@ def init_node_from_points(
         rgb: [n, 3] uint8-range colors (0..255).
         capacity: padded capacity (defaults to node_capacity(n)).
         num_traversals: 0 for a vanilla node; > 0 for multicolor.
+        fourier_dim: > 0 enables Fourier time-conditioned dc on this node
+            (rigid vehicles): coefficient 0 carries the seed color, higher
+            harmonics start at zero (ref `rigid_node.py:75-86,217-236`).
     """
     n = len(xyz)
     cap = capacity or node_capacity(n)
@@ -157,6 +170,10 @@ def init_node_from_points(
     logit = float(np.log(init_opacity / (1.0 - init_opacity)))
     opac = np.full((cap, 1), logit, np.float32)
 
+    fourier = np.zeros((cap, fourier_dim, 3), np.float32)
+    if fourier_dim > 0:
+        fourier[:, 0, :] = dc  # IDFT basis[0] = cos(0) = 1
+
     params = GaussianNodeParams(
         means=jnp.asarray(means),
         scales=jnp.asarray(scales),
@@ -165,6 +182,7 @@ def init_node_from_points(
         features_rest=jnp.asarray(rest),
         opacities=jnp.asarray(opac),
         features_adapters=jnp.asarray(adapters),
+        fourier_dc=jnp.asarray(fourier),
     )
     alive = np.zeros((cap,), np.float32)
     alive[:n] = 1.0

@@ -260,7 +260,9 @@ def _collect_instances(
     """World-space gaussians for stacked instances, flattened to [I*cap, ...].
 
     local_offsets: optional (dxyz [I,cap,3], dquat [I,cap,4-delta],
-    dscale [I,cap,3]) from the deformation MLP.
+    dscale [I,cap,3]) from the deformation MLP. When the node carries
+    Fourier dc coefficients (`node.fourier`), the per-view dc is their
+    IDFT combination at `view.timestamp` (ref `rigid_node.py:217-236`).
     """
     I, cap = node.means.shape[:2]
     means_l = node.means
@@ -276,6 +278,13 @@ def _collect_instances(
     opac = jax.nn.sigmoid(node.opacities[..., 0]) * alive * gate[:, None]
 
     dc, rest = node.features_dc, node.features_rest
+    if node.fourier:
+        from mtgs_tpu.models.fourier import fourier_features_dc
+
+        dc = fourier_features_dc(
+            node.fourier_dc.reshape(I * cap, *node.fourier_dc.shape[2:]),
+            view.timestamp,
+        ).reshape(I, cap, 3)
     colors = _eval_colors(
         means_w.reshape(I * cap, 3),
         dc.reshape(I * cap, 3),
@@ -341,7 +350,9 @@ def collect_gaussians(
             aux.instances, view, cfg.interp_poses,
         )
         outs.append(
-            _collect_instances(params.instances.node, aux.instances.alive, q, t, gate, view)
+            _collect_instances(
+                params.instances.node, aux.instances.alive, q, t, gate, view,
+            )
         )
 
     if params.deformables is not None:

@@ -342,19 +342,33 @@ def main(argv=None):
     import json
 
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("data_root")
-    ap.add_argument("scene_name")
+    ap.add_argument("data_root", nargs="?", default=None)
+    ap.add_argument("scene_name", nargs="?", default=None)
     ap.add_argument("--start", type=int, default=1)
     ap.add_argument("--stop", type=int, default=len(STAGE_ORDER))
     ap.add_argument("--config", default=None,
-                    help="JSON file with per-stage config dicts")
+                    help="JSON file with per-stage config dicts, or a "
+                    "RoadBlockConfig .yaml/.yml/.py (the reference's "
+                    "scene data-config layer) which also supplies "
+                    "data_root/scene_name")
     ap.add_argument("--strict", action="store_true",
                     help="abort on unavailable stages instead of skipping")
     args = ap.parse_args(argv)
     config = None
     if args.config:
-        with open(args.config) as f:
-            config = json.load(f)
+        if args.config.endswith((".yml", ".yaml", ".py")):
+            from mtgs_tpu.preprocess.roadblock_config import load_road_block_config
+
+            rb = load_road_block_config(args.config)
+            config = rb.to_stage_config()
+            args.data_root = args.data_root or rb.data_root
+            args.scene_name = args.scene_name or rb.road_block_name
+        else:
+            with open(args.config) as f:
+                config = json.load(f)
+    if not args.data_root or not args.scene_name:
+        ap.error("data_root and scene_name required (positionally or via "
+                 "a RoadBlockConfig --config)")
     status = run_pipeline(
         args.data_root, args.scene_name, start=args.start, stop=args.stop,
         config=config, skip_unavailable=not args.strict)

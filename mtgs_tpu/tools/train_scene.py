@@ -160,7 +160,12 @@ def eval_setup(run_dir, *, data=None, step=None, cameras=None):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data", required=True)
+    ap.add_argument("--data", default=None,
+                    help="road block folder (or use --data-config)")
+    ap.add_argument("--data-config", default=None,
+                    help="RoadBlockConfig .yaml/.yml/.py (the reference's "
+                    "data-config layer, nuplan_scripts/utils/config.py:38-108)"
+                    " — supplies the road block folder")
     ap.add_argument("--out", required=True)
     ap.add_argument("--method", default="mtgs")
     ap.add_argument("--steps", type=int, default=30001)
@@ -187,6 +192,14 @@ def main():
     from mtgs_tpu.train.checkpoint import (
         save_checkpoint, save_checkpoint_rotating)
     from mtgs_tpu.train.trainer import Trainer
+
+    if args.data_config:
+        from mtgs_tpu.preprocess.roadblock_config import load_road_block_config
+
+        rb = load_road_block_config(args.data_config)
+        args.data = args.data or str(rb.scene_dir)
+    if not args.data:
+        ap.error("--data or --data-config required")
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)

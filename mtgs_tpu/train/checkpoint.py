@@ -114,14 +114,23 @@ def node_from_torch_params(
     adapters = gp.get("features_adapters")
     if adapters is None:
         adapters = np.zeros((n, 0, 3), np.float32)
+    # rigid nodes with fourier_features_enabled store features_dc as
+    # [n, F_dim, 3] IDFT coefficients (ref rigid_node.py:75-86)
+    dc = gp["features_dc"]
+    if dc.ndim == 3:
+        fourier = dc
+        dc = dc[:, 0, :]
+    else:
+        fourier = np.zeros((n, 0, 3), np.float32)
     params = GaussianNodeParams(
         means=jnp.asarray(_pad_to(gp["means"], cap)),
         scales=jnp.asarray(_pad_to(gp["scales"], cap)),
         quats=jnp.asarray(_pad_to(gp["quats"], cap)),
-        features_dc=jnp.asarray(_pad_to(gp["features_dc"], cap)),
+        features_dc=jnp.asarray(_pad_to(dc, cap)),
         features_rest=jnp.asarray(_pad_to(gp["features_rest"], cap)),
         opacities=jnp.asarray(_pad_to(gp["opacities"], cap)),
         features_adapters=jnp.asarray(_pad_to(adapters, cap)),
+        fourier_dc=jnp.asarray(_pad_to(fourier, cap)),
     )
     alive = np.zeros((cap,), np.float32)
     alive[:n] = 1.0

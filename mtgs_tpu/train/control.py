@@ -118,27 +118,21 @@ def _gather_node(p: GaussianNodeParams, idx: jax.Array) -> GaussianNodeParams:
     return jax.tree.map(lambda a: a[idx], p)
 
 
-def refine_node(
-    key: jax.Array,
+def _refine_masks(
     params: GaussianNodeParams,
     aux: NodeAux,
-    mu: GaussianNodeParams,
-    nu: GaussianNodeParams,
     state: DensifyState,
     cfg: ControlConfig,
-    step: jax.Array,
     *,
     do_densify: bool,
     do_cull_big: bool,
     use_screen_size: bool,
-) -> RefineOut:
-    """One refinement pass over one node (jitted, static capacity).
-
-    Args:
-        do_densify: static — step within [densify_from_iter, stop_split_at).
-        do_cull_big: static — past the first reset interval (ref :591).
-        use_screen_size: static — step < stop_screen_size_at.
-    """
+):
+    """Shared split/dup/cull decision masks (the criteria of ref
+    `vanilla_gaussian_splatting.py:476-623`). Factored out so the Trainer
+    can COUNT candidates before committing to an output capacity — the
+    host-side growth decision that makes densification unbounded (the
+    reference reallocates tensors freely, :635-699)."""
     cap = params.capacity
     alive = aux.alive > 0
 
@@ -174,6 +168,76 @@ def refine_node(
     culls = culls | splits
 
     keep = alive & (~culls)
+    # children inherit the parent's opacity; the reference culls the
+    # CONCATENATED set by alpha in the same pass, so sub-threshold
+    # children must not be emitted at all
+    alpha_ok = jax.nn.sigmoid(params.opacities[:, 0]) >= cfg.cull_alpha_thresh
+    return keep, splits, dups, culls, alpha_ok, alive
+
+
+def count_refine_candidates(
+    params: GaussianNodeParams,
+    aux: NodeAux,
+    state: DensifyState,
+    cfg: ControlConfig,
+    *,
+    do_densify: bool,
+    do_cull_big: bool,
+    use_screen_size: bool,
+) -> jax.Array:
+    """Number of rows the next `refine_node` pass wants to emit.
+
+    The Trainer runs this cheap [cap]-vector pass first, pulls the count
+    to the host, and picks a (possibly larger) static output capacity —
+    so refinement never silently drops split/dup candidates."""
+    keep, splits, dups, _, alpha_ok, _ = _refine_masks(
+        params, aux, state, cfg,
+        do_densify=do_densify, do_cull_big=do_cull_big,
+        use_screen_size=use_screen_size,
+    )
+    ns = cfg.n_split_samples
+    return (
+        keep.sum() + ns * (splits & alpha_ok).sum() + (dups & alpha_ok).sum()
+    ).astype(jnp.int32)
+
+
+def refine_node(
+    key: jax.Array,
+    params: GaussianNodeParams,
+    aux: NodeAux,
+    mu: GaussianNodeParams,
+    nu: GaussianNodeParams,
+    state: DensifyState,
+    cfg: ControlConfig,
+    step: jax.Array,
+    *,
+    do_densify: bool,
+    do_cull_big: bool,
+    use_screen_size: bool,
+    out_cap: Optional[int] = None,
+) -> RefineOut:
+    """One refinement pass over one node (jitted, static capacity).
+
+    Args:
+        do_densify: static — step within [densify_from_iter, stop_split_at).
+        do_cull_big: static — past the first reset interval (ref :591).
+        use_screen_size: static — step < stop_screen_size_at.
+        out_cap: static output capacity (>= cap). When larger, the node's
+            arrays — params, Adam moments, alive mask, densify state —
+            GROW in this same gather, replacing the reference's tensor
+            reallocation + optimizer surgery (`dup_in_optim`, ref
+            :392-446) with a shape change between jits.
+    """
+    cap = params.capacity
+    out_cap = cap if out_cap is None else out_cap
+    if out_cap < cap:
+        raise ValueError(f"out_cap {out_cap} < capacity {cap}")
+
+    keep, splits, dups, culls, alpha_ok, alive = _refine_masks(
+        params, aux, state, cfg,
+        do_densify=do_densify, do_cull_big=do_cull_big,
+        use_screen_size=use_screen_size,
+    )
 
     # ---- candidate index table: [keep rows | split children | dup rows] --
     ns = cfg.n_split_samples
@@ -184,27 +248,22 @@ def refine_node(
         + [jnp.ones(cap, jnp.int32)] * ns
         + [jnp.full((cap,), 2, jnp.int32)]
     )
-    # children inherit the parent's opacity; the reference culls the
-    # CONCATENATED set by alpha in the same pass, so sub-threshold
-    # children must not be emitted at all
-    alpha_ok = jax.nn.sigmoid(params.opacities[:, 0]) >= cfg.cull_alpha_thresh
     cand_valid = jnp.concatenate(
         [keep] + [splits & alpha_ok] * ns + [dups & alpha_ok])
 
     # stable partition: valid rows to the front, preserving order
     order = jnp.argsort(~cand_valid, stable=True)
     n_valid = cand_valid.sum()
-    take = order[:cap]
+    take = order[:out_cap]
     src = cand_src[take]
     kind = cand_kind[take]
-    row_alive = jnp.arange(cap) < jnp.minimum(n_valid, cap)
+    row_alive = jnp.arange(out_cap) < jnp.minimum(n_valid, out_cap)
 
     gp = _gather_node(params, src)
 
     # split/dup-sampled means: mean + R (scale * eps)
-    eps = jax.random.normal(key, (cap, 3), params.means.dtype)
+    eps = jax.random.normal(key, (out_cap, 3), params.means.dtype)
     sampled = gp.means + quat_rotate(gp.quats, jnp.exp(gp.scales) * eps)
-    is_child = kind > 0
     is_split = kind == 1
     sample_mean = is_split | ((kind == 2) & cfg.clone_sample_means)
     new_means = jnp.where(sample_mean[:, None], sampled, gp.means)
@@ -217,7 +276,7 @@ def refine_node(
     # opacity logits a large negative so dead rows stay inert numerically
     row_alive_f = row_alive.astype(params.means.dtype)
     new_params = jax.tree.map(
-        lambda a: a * row_alive_f.reshape((cap,) + (1,) * (a.ndim - 1)), new_params
+        lambda a: a * row_alive_f.reshape((out_cap,) + (1,) * (a.ndim - 1)), new_params
     )
     dead = 1.0 - row_alive_f
     new_params = new_params.replace(
@@ -227,23 +286,23 @@ def refine_node(
     )
 
     keep_state = ((kind == 0) & row_alive).astype(params.means.dtype)
-    mask_state = lambda a: a * keep_state.reshape((cap,) + (1,) * (a.ndim - 1))
+    mask_state = lambda a: a * keep_state.reshape((out_cap,) + (1,) * (a.ndim - 1))
     new_mu = jax.tree.map(mask_state, _gather_node(mu, src))
     new_nu = jax.tree.map(mask_state, _gather_node(nu, src))
 
     new_aux = NodeAux(
-        alive=row_alive_f, num_alive=jnp.minimum(n_valid, cap).astype(jnp.int32)
+        alive=row_alive_f, num_alive=jnp.minimum(n_valid, out_cap).astype(jnp.int32)
     )
     return RefineOut(
         params=new_params,
         aux=new_aux,
         mu=new_mu,
         nu=new_nu,
-        state=DensifyState.zeros(cap),
+        state=DensifyState.zeros(out_cap),
         n_split=splits.sum(),
         n_dup=dups.sum(),
         n_cull=(culls & alive).sum(),
-        overflow=jnp.maximum(n_valid - cap, 0),
+        overflow=jnp.maximum(n_valid - out_cap, 0),
     )
 
 

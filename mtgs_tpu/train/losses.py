@@ -135,6 +135,39 @@ def depth_loss(pred: jax.Array, gt: jax.Array, mask: jax.Array, kind: str) -> ja
     return masked_mean(err, mask)
 
 
+def edge_aware_logl1(
+    pred: jax.Array, gt: jax.Array, rgb: jax.Array, mask: jax.Array
+) -> jax.Array:
+    """Edge-aware LogL1 depth loss (`geometric_loss.py:195-233`
+    EdgeAwareLogL1, scalar mode): per-pixel log(1+|d|) damped by
+    exp(-image gradient) along x and y, masked means summed.
+    pred/gt/mask [H, W, 1]; rgb [H, W, 3]."""
+    logl1 = jnp.log(1.0 + jnp.abs(pred - gt))
+    grad_x = jnp.abs(rgb[:, :-1] - rgb[:, 1:]).mean(-1, keepdims=True)
+    grad_y = jnp.abs(rgb[:-1] - rgb[1:]).mean(-1, keepdims=True)
+    loss_x = jnp.exp(-grad_x) * logl1[:, :-1]
+    loss_y = jnp.exp(-grad_y) * logl1[:-1]
+    return masked_mean(loss_x, mask[:, :-1]) + masked_mean(loss_y, mask[:-1])
+
+
+def edge_aware_tv(depth: jax.Array, rgb: jax.Array) -> jax.Array:
+    """Edge-aware depth smoothness (`geometric_loss.py:259-285`
+    EdgeAwareTV): |∂depth| damped by exp(-|∂rgb|), x + y means."""
+    gdx = jnp.abs(depth[:, :-1] - depth[:, 1:])
+    gdy = jnp.abs(depth[:-1] - depth[1:])
+    gix = jnp.abs(rgb[:, :-1] - rgb[:, 1:]).mean(-1, keepdims=True)
+    giy = jnp.abs(rgb[:-1] - rgb[1:]).mean(-1, keepdims=True)
+    return (gdx * jnp.exp(-gix)).mean() + (gdy * jnp.exp(-giy)).mean()
+
+
+def mean_angular_error(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    """Per-pixel angular error (radians) between normal maps
+    (`geometric_loss.py:305-320`). [H, W, 3] each (unit vectors) ->
+    [H, W]."""
+    dot = jnp.clip((pred * gt).sum(axis=-1), -1.0, 1.0)
+    return jnp.arccos(dot)
+
+
 def _extract_patches(img: jax.Array, patch: int, stride: int) -> jax.Array:
     """[H, W] -> [n_patches, patch*patch] via conv_general_dilated_patches
     (the jnp analog of the reference's F.unfold with SAME padding)."""
@@ -273,9 +306,15 @@ def compute_losses(
 
     if pred_depth is not None and gt_lidar_depth is not None and cfg.depth_lambda > 0:
         dm = (gt_lidar_depth > 0.1) & (gt_lidar_depth < 80.0) & (mask > 0)
-        losses["depth"] = cfg.depth_lambda * depth_loss(
-            pred_depth, gt_lidar_depth, dm, cfg.depth_loss_type
-        )
+        if cfg.depth_loss_type == "EdgeAwareLogL1":
+            dl = edge_aware_logl1(pred_depth, gt_lidar_depth, gt_img, dm)
+        elif cfg.depth_loss_type == "EdgeAwareTV":
+            dl = edge_aware_tv(pred_depth, gt_img)
+        elif cfg.depth_loss_type == "TV":
+            dl = tv_loss(pred_depth)
+        else:
+            dl = depth_loss(pred_depth, gt_lidar_depth, dm, cfg.depth_loss_type)
+        losses["depth"] = cfg.depth_lambda * dl
 
     if pred_depth is not None and gt_pseudo_depth is not None and cfg.ncc_lambda > 0:
         dm = (gt_pseudo_depth > 0.1) & (gt_pseudo_depth < 80.0) & (mask > 0)

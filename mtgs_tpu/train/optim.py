@@ -96,6 +96,9 @@ def _node_labels(node, multicolor: bool):
         features_rest=prefix + "features_rest",
         opacities="opacities",
         features_adapters="multicolor.features_adapters",
+        # Fourier dc coefficients ARE the node's features_dc in the
+        # reference (same param group, rigid_node.py:75-86)
+        fourier_dc=None if node.fourier_dc is None else "features_dc",
     )
 
 

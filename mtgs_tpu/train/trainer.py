@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 from typing import Any, Dict, Iterator, Optional, Tuple
 
 import jax
@@ -45,6 +46,8 @@ from mtgs_tpu.train import control as ctrl
 from mtgs_tpu.train import losses as loss_lib
 from mtgs_tpu.train import optim as optim_lib
 
+_LOG = logging.getLogger(__name__)
+
 
 class TrainerConfig(struct.PyTreeNode):
     width: int = struct.field(pytree_node=False, default=960)
@@ -57,6 +60,18 @@ class TrainerConfig(struct.PyTreeNode):
     max_steps: int = struct.field(pytree_node=False, default=30001)
     predict_normals: bool = struct.field(pytree_node=False, default=True)
     background_color: float = struct.field(pytree_node=False, default=0.0)
+    # ---- capacity growth (the reference grows N freely by reallocating
+    # tensors, `vanilla_gaussian_splatting.py:635-699`; here the Trainer
+    # counts refine candidates first and re-jits at a larger static
+    # capacity when they would overflow). Geometric growth + granule
+    # rounding bounds the number of recompiles to O(log(final/seed)).
+    auto_grow: bool = struct.field(pytree_node=False, default=True)
+    grow_granule: int = struct.field(pytree_node=False, default=4096)
+    grow_factor: float = struct.field(pytree_node=False, default=1.5)
+    # intersection buffer auto-growth: grow when the measured
+    # n_intersections exceeds isect_grow_frac * max_intersections.
+    isect_grow_frac: float = struct.field(pytree_node=False, default=0.85)
+    isect_grow_factor: float = struct.field(pytree_node=False, default=1.5)
     loss: loss_lib.LossConfig = struct.field(
         pytree_node=False, default_factory=loss_lib.LossConfig
     )
@@ -422,13 +437,113 @@ class Trainer:
             key=jax.random.key(seed),
         )
         self._step_fn = make_train_step(cfg, self.optimizer)
-        self._refine_fns: Dict[Tuple[bool, bool, bool], Any] = {}
+        self._refine_fns: Dict[Any, Any] = {}
+        self.growth_events: list = []
+        self.refine_overflow: int = 0
 
     # ------------------------------------------------------------- refine
 
-    def _get_refine_fn(self, flags):
-        if flags not in self._refine_fns:
+    def _get_count_fn(self, flags):
+        """Jitted candidate counting per node (ctrl.count_refine_candidates)."""
+        key = ("count",) + flags
+        if key not in self._refine_fns:
             cc = self.cfg.control
+            do_densify, do_cull_big, use_screen = flags
+            kw = dict(
+                do_densify=do_densify, do_cull_big=do_cull_big,
+                use_screen_size=use_screen,
+            )
+
+            @jax.jit
+            def count(state: TrainState, aux: SceneAux):
+                params = state.params
+                out = {
+                    "background": ctrl.count_refine_candidates(
+                        params.background, aux.background,
+                        state.densify["background"], cc, **kw,
+                    )
+                }
+                if params.skybox is not None:
+                    sky_cc = dataclasses.replace(cc, far_dist=1e8, far_scale_factor=1.0)
+                    out["skybox"] = ctrl.count_refine_candidates(
+                        params.skybox, aux.skybox, state.densify["skybox"],
+                        sky_cc, **kw,
+                    )
+                if params.instances is not None:
+                    iaux = NodeAux(
+                        alive=aux.instances.alive, num_alive=aux.instances.num_alive
+                    )
+                    out["instances"] = jax.vmap(
+                        functools.partial(ctrl.count_refine_candidates, cfg=cc, **kw)
+                    )(params.instances.node, iaux, state.densify["instances"])
+                if params.deformables is not None:
+                    daux = NodeAux(
+                        alive=aux.deformables.alive,
+                        num_alive=aux.deformables.num_alive,
+                    )
+                    out["deformables"] = jax.vmap(
+                        functools.partial(ctrl.count_refine_candidates, cfg=cc, **kw)
+                    )(params.deformables.node, daux, state.densify["deformables"])
+                return out
+
+            self._refine_fns[key] = count
+        return self._refine_fns[key]
+
+    def _plan_growth(self, flags):
+        """Pick static output capacities for the next refine pass.
+
+        Counts candidates on device, then on the host chooses
+        out_cap = granule-rounded max(needed, cap * grow_factor) for any
+        node that would overflow — the promised "grow node capacities
+        outside jit when they fill up"."""
+        from mtgs_tpu.models.gaussians import node_capacity
+
+        params = self.state.params
+        caps = dict(
+            background=params.background.capacity,
+            skybox=None if params.skybox is None else params.skybox.capacity,
+            instances=None if params.instances is None
+            else params.instances.node.means.shape[1],
+            deformables=None if params.deformables is None
+            else params.deformables.node.means.shape[1],
+        )
+        if not self.cfg.auto_grow:
+            return (caps["background"], caps["skybox"], caps["instances"],
+                    caps["deformables"])
+        counts = jax.device_get(self._get_count_fn(flags)(self.state, self.aux))
+
+        def plan(cap, needed):
+            if cap is None or needed is None or needed <= cap:
+                return cap
+            target = max(int(needed), int(cap * self.cfg.grow_factor))
+            return node_capacity(target, self.cfg.grow_granule)
+
+        out = (
+            plan(caps["background"], int(counts["background"])),
+            plan(caps["skybox"],
+                 int(counts["skybox"]) if "skybox" in counts else None),
+            plan(caps["instances"],
+                 int(np.max(counts["instances"])) if "instances" in counts else None),
+            plan(caps["deformables"],
+                 int(np.max(counts["deformables"])) if "deformables" in counts else None),
+        )
+        for name, old, new in zip(
+            ("background", "skybox", "instances", "deformables"),
+            (caps["background"], caps["skybox"], caps["instances"],
+             caps["deformables"]),
+            out,
+        ):
+            if new is not None and old is not None and new > old:
+                self.growth_events.append(
+                    dict(step=int(self.state.step), node=name, old=old, new=new)
+                )
+        return out
+
+    def _get_refine_fn(self, flags, out_caps=None):
+        key = (flags, out_caps)
+        if key not in self._refine_fns:
+            cc = self.cfg.control
+            bg_cap, sky_cap, inst_cap, def_cap = out_caps or (None,) * 4
 
             @functools.partial(jax.jit, donate_argnums=(0,))
             def refine(state: TrainState, aux: SceneAux):
@@ -439,19 +554,24 @@ class Trainer:
                 params = state.params
                 densify = dict(state.densify)
                 new_aux = aux
+                info = {}
 
                 out = ctrl.refine_node(
                     k1, params.background, aux.background,
                     mu.background, nu.background, densify["background"],
                     cc, state.step,
                     do_densify=do_densify, do_cull_big=do_cull_big,
-                    use_screen_size=use_screen,
+                    use_screen_size=use_screen, out_cap=bg_cap,
                 )
                 params = params.replace(background=out.params)
                 mu = mu.replace(background=out.mu)
                 nu = nu.replace(background=out.nu)
                 new_aux = new_aux.replace(background=out.aux)
                 densify["background"] = out.state
+                info["overflow"] = out.overflow
+                info["n_split"] = out.n_split
+                info["n_dup"] = out.n_dup
+                info["n_cull"] = out.n_cull
 
                 if params.skybox is not None:
                     sky_cc = dataclasses.replace(
@@ -461,13 +581,17 @@ class Trainer:
                         k2, params.skybox, aux.skybox, mu.skybox, nu.skybox,
                         densify["skybox"], sky_cc, state.step,
                         do_densify=do_densify, do_cull_big=do_cull_big,
-                        use_screen_size=use_screen,
+                        use_screen_size=use_screen, out_cap=sky_cap,
                     )
                     params = params.replace(skybox=outs.params)
                     mu = mu.replace(skybox=outs.mu)
                     nu = nu.replace(skybox=outs.nu)
                     new_aux = new_aux.replace(skybox=outs.aux)
                     densify["skybox"] = outs.state
+                    info["overflow"] = info["overflow"] + outs.overflow
+                    info["n_split"] = info["n_split"] + outs.n_split
+                    info["n_dup"] = info["n_dup"] + outs.n_dup
+                    info["n_cull"] = info["n_cull"] + outs.n_cull
 
                 if params.instances is not None:
                     I = params.instances.node.means.shape[0]
@@ -480,6 +604,7 @@ class Trainer:
                             do_densify=do_densify,
                             do_cull_big=do_cull_big,
                             use_screen_size=use_screen,
+                            out_cap=inst_cap,
                         )
                     )
                     iaux_node = NodeAux(
@@ -500,6 +625,10 @@ class Trainer:
                         )
                     )
                     densify["instances"] = outi.state
+                    info["overflow"] = info["overflow"] + outi.overflow.sum()
+                    info["n_split"] = info["n_split"] + outi.n_split.sum()
+                    info["n_dup"] = info["n_dup"] + outi.n_dup.sum()
+                    info["n_cull"] = info["n_cull"] + outi.n_cull.sum()
 
                 if params.deformables is not None:
                     # deformable nodes refine like rigid ones (the
@@ -516,6 +645,7 @@ class Trainer:
                             do_densify=do_densify,
                             do_cull_big=do_cull_big,
                             use_screen_size=use_screen,
+                            out_cap=def_cap,
                         )
                     )
                     daux_node = NodeAux(
@@ -540,16 +670,20 @@ class Trainer:
                         )
                     )
                     densify["deformables"] = outd.state
+                    info["overflow"] = info["overflow"] + outd.overflow.sum()
+                    info["n_split"] = info["n_split"] + outd.n_split.sum()
+                    info["n_dup"] = info["n_dup"] + outd.n_dup.sum()
+                    info["n_cull"] = info["n_cull"] + outd.n_cull.sum()
 
                 opt_state = (adam_state._replace(mu=mu, nu=nu), sched_state)
                 new_state = TrainState(
                     params=params, opt_state=opt_state, densify=densify,
                     step=state.step, key=key,
                 )
-                return new_state, new_aux
+                return new_state, new_aux, info
 
-            self._refine_fns[flags] = refine
-        return self._refine_fns[flags]
+            self._refine_fns[key] = refine
+        return self._refine_fns[key]
 
     @functools.cached_property
     def _reset_fn(self):
@@ -651,8 +785,46 @@ class Trainer:
                 do_cull_big = sref > cc.refine_every * cc.reset_alpha_every
                 use_screen = sref < cc.stop_screen_size_at
                 if do_densify or cc.continue_cull_post_densification:
-                    fn = self._get_refine_fn((do_densify, do_cull_big, use_screen))
-                    self.state, self.aux = fn(self.state, self.aux)
+                    flags = (do_densify, do_cull_big, use_screen)
+                    out_caps = self._plan_growth(flags)
+                    fn = self._get_refine_fn(flags, out_caps)
+                    self.state, self.aux, rinfo = fn(self.state, self.aux)
+                    overflow = int(rinfo["overflow"])
+                    if overflow > 0:
+                        self.refine_overflow += overflow
+                        _LOG.warning(
+                            "refine at step %d dropped %d split/dup candidates "
+                            "(capacity full; auto_grow=%s)",
+                            sref, overflow, self.cfg.auto_grow,
+                        )
+                    # intersection-buffer growth: check the measured count
+                    # at the refine cadence (forcing it every step would
+                    # serialize the dispatch pipeline on a host sync)
+                    n_isect = int(metrics["n_intersections"])
+                    if (
+                        self.cfg.auto_grow
+                        and n_isect > self.cfg.isect_grow_frac * self.cfg.max_intersections
+                    ):
+                        new_isect = int(
+                            self.cfg.max_intersections * self.cfg.isect_grow_factor
+                        )
+                        new_isect = ((new_isect + 511) // 512) * 512
+                        _LOG.info(
+                            "growing max_intersections %d -> %d (measured %d)",
+                            self.cfg.max_intersections, new_isect, n_isect,
+                        )
+                        self.growth_events.append(dict(
+                            step=sref, node="max_intersections",
+                            old=self.cfg.max_intersections, new=new_isect,
+                        ))
+                        self.cfg = self.cfg.replace(max_intersections=new_isect)
+                        self._base_cfg = self._base_cfg.replace(
+                            max_intersections=int(
+                                self._base_cfg.max_intersections
+                                * self.cfg.isect_grow_factor
+                            )
+                        )
+                        self._step_fn = make_train_step(self.cfg, self.optimizer)
                 reset_interval = cc.reset_alpha_every * cc.refine_every
                 if sref < cc.stop_split_at and sref % reset_interval == cc.refine_every:
                     self.state = self._reset_fn(self.state)

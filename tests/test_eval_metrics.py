@@ -11,7 +11,50 @@ import jax.numpy as jnp
 import numpy as np
 
 from mtgs_tpu.eval.metrics import color_correct, depth_metrics, masked_psnr
-from mtgs_tpu.train.losses import ssim
+from mtgs_tpu.train.losses import (
+    edge_aware_logl1,
+    edge_aware_tv,
+    mean_angular_error,
+    ssim,
+)
+
+
+def test_mean_angular_error_known_angles():
+    """`mean_angular_error` (geometric_loss.py:305-320): arccos of the
+    channel dot product, clamped."""
+    a = jnp.zeros((2, 2, 3)).at[..., 0].set(1.0)
+    b = jnp.zeros((2, 2, 3)).at[..., 1].set(1.0)
+    np.testing.assert_allclose(np.asarray(mean_angular_error(a, a)), 0.0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mean_angular_error(a, b)), np.pi / 2, atol=1e-6)
+    # antiparallel: clamp keeps arccos finite at pi
+    np.testing.assert_allclose(
+        np.asarray(mean_angular_error(a, -a)), np.pi, atol=1e-6)
+
+
+def test_edge_aware_depth_losses():
+    """EdgeAwareLogL1/EdgeAwareTV (geometric_loss.py:195-233,259-285):
+    image edges damp the depth penalty; flat images penalize fully."""
+    rng = np.random.default_rng(0)
+    H = W = 16
+    pred = jnp.asarray(rng.uniform(1, 5, (H, W, 1)), jnp.float32)
+    gt = pred + 1.0
+    mask = jnp.ones((H, W, 1))
+    flat_rgb = jnp.full((H, W, 3), 0.5)
+    # an image that is pure vertical edges everywhere
+    edgy_rgb = jnp.asarray(
+        np.tile((np.arange(W) % 2).astype(np.float32)[None, :, None], (H, 1, 3)))
+    l_flat = float(edge_aware_logl1(pred, gt, flat_rgb, mask))
+    l_edgy = float(edge_aware_logl1(pred, gt, edgy_rgb, mask))
+    assert l_edgy < l_flat  # edges reduce the weight
+    np.testing.assert_allclose(l_flat, 2 * np.log(2.0), rtol=1e-5)
+
+    step_depth = jnp.asarray(
+        np.tile((np.arange(W) % 2).astype(np.float32)[None, :, None], (H, 1, 1)))
+    tv_flat = float(edge_aware_tv(step_depth, flat_rgb))
+    tv_edgy = float(edge_aware_tv(step_depth, edgy_rgb))
+    assert tv_edgy < tv_flat
+    assert float(edge_aware_tv(jnp.ones((H, W, 1)), flat_rgb)) == 0.0
 
 
 def test_masked_psnr_ignores_masked_pixels():

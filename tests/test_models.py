@@ -148,6 +148,50 @@ def test_fourier_dc_constant_and_varying():
     assert not np.allclose(np.asarray(o0), np.asarray(o1))
 
 
+def test_fourier_dc_wired_into_render_path():
+    """Fourier coefficients on a rigid node change the COLLECTED colors
+    over time (ref rigid_node.py:217-236 feeds get_fourier_features into
+    the render); with only the k=0 coefficient they reproduce the static
+    dc path exactly."""
+    from mtgs_tpu.models.scene_graph import _collect_instances
+
+    rng = np.random.default_rng(3)
+    I, cap, F_dim = 1, 8, 4
+    p, aux = init_node_from_points(
+        rng.normal(size=(cap, 3)).astype(np.float32),
+        rng.uniform(0, 255, (cap, 3)).astype(np.float32),
+        capacity=cap, fourier_dim=F_dim,
+    )
+    # stack to [I, cap, ...]
+    node = jax.tree.map(lambda a: a[None], p)
+    alive = jnp.ones((I, cap))
+    pose_q = jnp.asarray([[1.0, 0, 0, 0]])
+    pose_t = jnp.zeros((I, 3))
+    gate = jnp.ones((I,))
+
+    def view(t):
+        return ViewInputs(
+            travel_index=jnp.asarray(0), frame_idx=jnp.asarray(0),
+            timestamp=jnp.asarray(t), cam_pos=jnp.asarray([0.0, 0, 10.0]),
+            sh_mask=jnp.ones((16,)),
+        )
+
+    # k=0-only coefficients: identical to the static dc path at any t
+    *_, col_a = _collect_instances(node, alive, pose_q, pose_t, gate, view(0.1))
+    static_node = node.replace(fourier_dc=jnp.zeros((I, cap, 0, 3)))
+    *_, col_static = _collect_instances(
+        static_node, alive, pose_q, pose_t, gate, view(0.1))
+    np.testing.assert_allclose(np.asarray(col_a), np.asarray(col_static), atol=1e-6)
+
+    # a trained harmonic changes rendered color over time
+    coeffs = np.array(node.fourier_dc)
+    coeffs[:, :, 1, :] = 0.4
+    node = node.replace(fourier_dc=jnp.asarray(coeffs))
+    *_, c0 = _collect_instances(node, alive, pose_q, pose_t, gate, view(0.0))
+    *_, c1 = _collect_instances(node, alive, pose_q, pose_t, gate, view(0.25))
+    assert not np.allclose(np.asarray(c0), np.asarray(c1))
+
+
 def test_instance_velocities_linear_motion():
     I, F, cap = 1, 4, 3
     quats = jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]), (I, F, 4))

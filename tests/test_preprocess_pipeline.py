@@ -331,3 +331,76 @@ def test_build_fixed_pose_model(tmp_path):
     assert np.isfinite(cam_pos_world).all()
     assert (tmp_path / "image_pairs.txt").exists()
     assert (tmp_path / "database.db").exists()
+
+
+def test_road_block_config_yaml_roundtrip(tmp_path):
+    """RoadBlockConfig (ref nuplan_scripts/utils/config.py:38-108): plain
+    YAML roundtrip + stage-config derivation."""
+    from mtgs_tpu.preprocess.roadblock_config import (
+        RoadBlockConfig, load_road_block_config, save_yaml)
+
+    cfg = RoadBlockConfig(
+        road_block_name="road_block-1_2_3_4",
+        road_block=(1.0, 2.0, 3.0, 4.0),
+        city="us-ma-boston",
+        data_root=str(tmp_path),
+        selected_videos=(0, 1, 5),
+        expand_buffer=30.0,
+        use_colmap_ba=True,
+    )
+    save_yaml(cfg, tmp_path / "rb.yaml")
+    back = load_road_block_config(tmp_path / "rb.yaml")
+    assert back == cfg
+    stages = back.to_stage_config()
+    assert stages["video_split"]["road_block"] == (1.0, 2.0, 3.0, 4.0)
+    assert stages["colmap"]["use_colmap_ba"] is True
+    assert back.scene_dir == tmp_path / "road_block-1_2_3_4"
+
+
+def test_road_block_config_reads_reference_tagged_yaml(tmp_path):
+    """The paper's shipped configs use `!!python/object:` tags
+    (docs/prepare_dataset.md:56-81) — they must load without executing
+    python object construction."""
+    from mtgs_tpu.preprocess.roadblock_config import load_road_block_config
+
+    (tmp_path / "ref.yml").write_text(
+        "!!python/object:nuplan_scripts.utils.config.RoadBlockConfig\n"
+        "city: us-ma-boston\n"
+        "data_root: ./data/MTGS\n"
+        "interval: 1\n"
+        "reconstruct_buffer: 0\n"
+        "expand_buffer: 0\n"
+        "exclude_bad_registration: false\n"
+        "use_colmap_ba: false\n"
+        "collect_raw: false\n"
+        "split: trainval\n"
+        "road_block: !!python/tuple\n"
+        "- 331120\n"
+        "- 4690660\n"
+        "- 331190\n"
+        "- 4690710\n"
+        "road_block_name: road_block-331220_4690660_331190_4690710\n"
+        "selected_videos: !!python/tuple\n"
+        "- 0\n"
+        "- 1\n"
+        "- 2\n"
+    )
+    cfg = load_road_block_config(tmp_path / "ref.yml")
+    assert cfg.road_block == (331120, 4690660, 331190, 4690710)
+    assert cfg.selected_videos == (0, 1, 2)
+    assert cfg.exclude_bad_registration is False
+    assert cfg.road_block_name.startswith("road_block-331220")
+
+
+def test_road_block_config_py_module(tmp_path):
+    """`.py` config modules expose `config` (ref config.py:98-104)."""
+    from mtgs_tpu.preprocess.roadblock_config import load_road_block_config
+
+    (tmp_path / "cfg.py").write_text(
+        "from mtgs_tpu.preprocess.roadblock_config import RoadBlockConfig\n"
+        "config = RoadBlockConfig(road_block_name='rb', "
+        "road_block=(0, 0, 10, 10), city='sg-one-north')\n"
+    )
+    cfg = load_road_block_config(tmp_path / "cfg.py")
+    assert cfg.city == "sg-one-north"
+    assert cfg.road_block == (0, 0, 10, 10)

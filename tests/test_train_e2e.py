@@ -238,6 +238,95 @@ def test_densify_children_respect_alpha_cull():
     assert int(out.aux.num_alive) == 0  # all culled, no children emitted
 
 
+def test_refine_node_grows_capacity():
+    """refine_node with out_cap > cap emits every candidate into the
+    larger arrays: no overflow, kept rows carry their Adam moments
+    (the reference's reallocation + `dup_in_optim` surgery,
+    vanilla_gaussian_splatting.py:392-446,635-699)."""
+    from mtgs_tpu.models.gaussians import init_node_from_points
+
+    n, cap = 100, 128
+    rng = np.random.default_rng(0)
+    params, aux = init_node_from_points(
+        rng.uniform(-1, 1, (n, 3)).astype(np.float32),
+        rng.uniform(0, 255, (n, 3)).astype(np.float32),
+        capacity=cap,
+    )
+    # rows 0..49 keep (low grad); rows 50..99 split (big scale, high grad)
+    scales = np.array(params.scales)
+    scales[50:n] = np.log(0.5)
+    scales[:50] = np.log(0.01)
+    params = params.replace(scales=jnp.asarray(scales))
+    g = np.zeros(cap, np.float32)
+    g[50:n] = 10.0
+    st = ctrl.DensifyState.zeros(cap).replace(
+        vis_counts=jnp.ones(cap), xys_grad_norm=jnp.asarray(g))
+    # distinguishable Adam moments: row index in every means entry
+    mu = jax.tree.map(jnp.zeros_like, params)
+    mu = mu.replace(means=jnp.arange(cap, dtype=jnp.float32)[:, None]
+                    * jnp.ones((1, 3)))
+    cc = ctrl.ControlConfig()
+
+    needed = int(ctrl.count_refine_candidates(
+        params, aux, st, cc,
+        do_densify=True, do_cull_big=False, use_screen_size=False))
+    assert needed == 50 + 50 * cc.n_split_samples  # 150 > cap=128
+
+    out = ctrl.refine_node(
+        jax.random.key(0), params, aux, mu, jax.tree.map(jnp.zeros_like, params),
+        st, cc, jnp.asarray(600, jnp.int32),
+        do_densify=True, do_cull_big=False, use_screen_size=False,
+        out_cap=256)
+    assert out.params.capacity == 256
+    assert int(out.overflow) == 0
+    assert int(out.aux.num_alive) == needed
+    # kept rows come first (stable partition) and carry their moments
+    kept_mu = np.asarray(out.mu.means[:50, 0])
+    np.testing.assert_allclose(kept_mu, np.arange(50, dtype=np.float32))
+    # child rows get zeroed moments
+    assert np.all(np.asarray(out.mu.means[50:]) == 0.0)
+    # grown state buffers match the new capacity
+    assert out.state.xys_grad_norm.shape == (256,)
+    assert out.aux.alive.shape == (256,)
+
+
+def test_trainer_auto_grows_capacity():
+    """The Trainer grows node capacity past the seed allocation when
+    densification fills it — the scene can grow unboundedly (VERDICT
+    round-1 missing #1; ref vanilla_gaussian_splatting.py:635-699)."""
+    scn = make_synthetic_scene(seed=0, width=48, height=48, n_travels=1,
+                               n_frames=2, n_bg=300, n_instance=0)
+    params, aux = build_scene_model(scn, with_instances=False)
+    cap0 = params.background.capacity
+    cfg = TrainerConfig(
+        width=48, height=48, max_intersections=1 << 13, max_steps=100,
+        backend="xla", predict_normals=False,
+        grow_granule=1024,
+        control=ctrl.ControlConfig(
+            densify_from_iter=2, refine_every=3, stop_split_at=100,
+            reset_alpha_every=1000, sh_degree_interval=10,
+            densify_grad_thresh=1e-9,  # duplicate everything visible
+            densify_size_thresh=1e9,   # force dup (not split) path
+        ),
+    )
+    trainer = Trainer(cfg, params, aux, batch_iterator(scn))
+    hist = trainer.train(24)
+    assert trainer.state.params.background.capacity > cap0, (
+        trainer.state.params.background.capacity, cap0)
+    assert int(trainer.aux.background.num_alive) > cap0
+    assert trainer.refine_overflow == 0
+    assert any(e["node"] == "background" for e in trainer.growth_events)
+    # optimizer + densify state followed the growth (consistent shapes)
+    adam_state, _ = trainer.state.opt_state
+    assert (adam_state.mu.background.means.shape
+            == trainer.state.params.background.means.shape)
+    assert (trainer.state.densify["background"].xys_grad_norm.shape[0]
+            == trainer.state.params.background.capacity)
+    # training remains sane across the growth re-jits
+    for h in hist:
+        assert np.isfinite(float(h["total_loss"]))
+
+
 def test_deformable_training_and_refine():
     """Deformable nodes train, refine (densify stats consumed), and
     opacity-reset like every other gaussian model (ref
