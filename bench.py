@@ -115,7 +115,7 @@ def main():
     cfg = RasterizeConfig(
         width=WIDTH, height=HEIGHT, max_intersections=MAX_ISECT,
         rasterize_mode="antialiased", render_mode="RGB+ED", backend="auto",
-        fused=os.environ.get("MTGS_FUSED", "0") != "0",
+        fused=os.environ.get("MTGS_FUSED", "1") != "0",
     )
     target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32)
 

@@ -77,6 +77,7 @@ def evaluate_scene(
 
     rows: List[Dict[str, float]] = []
     fps = []
+    compiled_modes: set = set()
     for batch in eval_batches:
         mode = "index"
         if travel_modes is not None:
@@ -87,7 +88,13 @@ def evaluate_scene(
         jax.block_until_ready(out["rgb"])
         dt = time.perf_counter() - t0
         h, w = out["rgb"].shape[:2]
-        fps.append(1.0 / max(dt, 1e-9))
+        # each mode's FIRST call includes jit compilation — exclude it
+        # from the reported fps (the reference's fps instrumentation
+        # times steady-state rendering, custom_pipeline.py:168-181)
+        if mode in compiled_modes:
+            fps.append(1.0 / max(dt, 1e-9))
+        else:
+            compiled_modes.add(mode)
 
         gt_depth = batch.lidar_depth
         m = metric_fn(

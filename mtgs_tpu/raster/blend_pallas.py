@@ -245,6 +245,7 @@ def _bwd_kernel(
     head_ref,   # first live lane within the first window
     cnt_ref,    # live pairs per tile
     nch_ref,    # aligned windows per tile
+    base_ref,   # [1] global index of tile row 0 (tile-sharded training)
     # inputs
     slab_hbm,
     f_ref,
@@ -272,7 +273,7 @@ def _bwd_kernel(
     head = head_ref[t]
     count = cnt_ref[t]
     nch = nch_ref[t]
-    ox, oy = _origin(t, tiles_x, tile_size)
+    ox, oy = _origin(base_ref[0] + t, tiles_x, tile_size)
     F = f_ref[:]
     LT = lt_ref[:]
     P = tile_size * tile_size
@@ -341,7 +342,7 @@ def _bwd_kernel(
 
 
 def _bwd_kernel_db(
-    off_ref, head_ref, cnt_ref, nch_ref,
+    off_ref, head_ref, cnt_ref, nch_ref, base_ref,
     slab_hbm, f_ref, lt_ref,
     rgb_ref, tfin_ref, grgb_ref, gt_ref, zg_hbm,
     g_hbm,
@@ -365,7 +366,7 @@ def _bwd_kernel_db(
     head = head_ref[t]
     count = cnt_ref[t]
     nch = nch_ref[t]
-    ox, oy = _origin(t, tiles_x, tile_size)
+    ox, oy = _origin(base_ref[0] + t, tiles_x, tile_size)
     F = f_ref[:]
     LT = lt_ref[:]
     P = tile_size * tile_size
@@ -470,6 +471,7 @@ def blend_backward_pallas(
     tiles_x: int,
     c_total: int,
     interpret: bool = False,
+    tile_base=None,   # [] or [1] global index of tile row 0
 ) -> jax.Array:
     """Returns per-intersection g_slab_t [W, cap] (pad rows zero).
 
@@ -480,8 +482,11 @@ def blend_backward_pallas(
     P = tile_size * tile_size
     W, cap = slab_t.shape
     ct = c_total
+    if tile_base is None:
+        tile_base = jnp.zeros((1,), jnp.int32)
+    tile_base = jnp.asarray(tile_base, jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -523,8 +528,8 @@ def blend_backward_pallas(
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((W, cap), jnp.float32)],
         # zero-filled input donates its buffer to output 0
-        # (indices count ALL operands, including the 4 scalar-prefetch args)
-        input_output_aliases={11: 0},
+        # (indices count ALL operands, including the 5 scalar-prefetch args)
+        input_output_aliases={12: 0},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # sequential ascending grid: the boundary-window RMW protocol
@@ -537,6 +542,7 @@ def blend_backward_pallas(
         tile_heads,
         tile_counts,
         tile_nchunks,
+        tile_base,
         slab_t,
         cm.pixel_features(tile_size),
         cm.tri_inclusive(CHUNK),

@@ -82,6 +82,7 @@ def blend_backward_xla(
     tile_size: int,
     tiles_x: int,
     c_total: int,
+    tile_base=0,   # global index of tile row 0 (tile-sharded rendering)
 ) -> jax.Array:
     """Returns per-intersection g_slab_t [W, cap] (pad rows zero)."""
     num_tiles = tile_offsets.shape[0]
@@ -90,7 +91,7 @@ def blend_backward_xla(
     max_chunks = cap // CHUNK
     F = cm.pixel_features(tile_size)
     LT = cm.tri_inclusive(CHUNK)
-    ox, oy = _tile_origins(num_tiles, tiles_x, tile_size)
+    ox, oy = _tile_origins(num_tiles, tiles_x, tile_size, tile_base)
 
     def per_tile(offset, head, count, nchunks, origin_x, origin_y, rgb_fwd, tf, grgb, gt):
         tf = tf[:, None]

@@ -51,7 +51,10 @@ class RasterizeConfig(NamedTuple):
     max_intersections: int = 1 << 20
     backend: str = "auto"                # "auto" | "pallas" | "xla" | "reference"
     interpret: bool = False              # run Pallas in interpreter mode
-    fused: bool = False                  # attr-payload sort path (pallas only)
+    fused: bool = True                   # attr-payload sort path (pallas only;
+    # the faster configuration on-chip — results/onchip/*/profile_*.log:
+    # 72 ms vs 97 ms fwd+bwd at 1M gaussians; falls back to the classic
+    # gather path when fused_fits() fails or the backend is not pallas)
 
     @property
     def tiles_x(self) -> int:
@@ -84,32 +87,38 @@ def _f0(a):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _blend(statics, slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks):
+def _blend(statics, slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks,
+           tile_base):
     out, _ = _blend_fwd(
-        statics, slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks
+        statics, slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks,
+        tile_base,
     )
     return out
 
 
-def _blend_fwd(statics, slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks):
+def _blend_fwd(statics, slab_t, tile_offsets, tile_heads, tile_counts,
+               tile_nchunks, tile_base):
     if statics.backend == "pallas":
         rgb, tfin = blend_forward_pallas(
             slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks,
             tile_size=statics.tile_size, tiles_x=statics.tiles_x,
             c_total=statics.c_total, interpret=statics.interpret,
+            tile_base=tile_base,
         )
     else:
         rgb, tfin = blend_forward_xla(
             slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks,
             tile_size=statics.tile_size, tiles_x=statics.tiles_x,
-            c_total=statics.c_total,
+            c_total=statics.c_total, tile_base=tile_base,
         )
-    res = (slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks, rgb, tfin)
+    res = (slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks,
+           tile_base, rgb, tfin)
     return (rgb, tfin), res
 
 
 def _blend_bwd(statics, res, cot):
-    slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks, rgb, tfin = res
+    (slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks, tile_base,
+     rgb, tfin) = res
     g_rgb, g_t = cot
     if statics.backend == "pallas":
         g_slab_t = blend_backward_pallas(
@@ -117,13 +126,14 @@ def _blend_bwd(statics, res, cot):
             rgb, tfin, g_rgb, g_t,
             tile_size=statics.tile_size, tiles_x=statics.tiles_x,
             c_total=statics.c_total, interpret=statics.interpret,
+            tile_base=tile_base,
         )
     else:
         g_slab_t = blend_backward_xla(
             slab_t, tile_offsets, tile_heads, tile_counts, tile_nchunks,
             rgb, tfin, g_rgb, g_t,
             tile_size=statics.tile_size, tiles_x=statics.tiles_x,
-            c_total=statics.c_total,
+            c_total=statics.c_total, tile_base=tile_base,
         )
     # Slack capacity regions of both backends' outputs are exact zeros
     # (aliased zero-init in Pallas, zeros+scatter in XLA), so the
@@ -131,6 +141,7 @@ def _blend_bwd(statics, res, cot):
     return (
         g_slab_t,
         _f0(tile_offsets), _f0(tile_heads), _f0(tile_counts), _f0(tile_nchunks),
+        _f0(tile_base),
     )
 
 
@@ -189,7 +200,7 @@ def _gather_bwd(statics, res, cot):
     ct = statics.c_total
     nw = NUM_GEOM + ct
     rows = [g_slab_t[i] for i in range(nw)]
-    srt = jax.lax.sort((binned.gidx, *rows), num_keys=1, is_stable=False)
+    srt = _sort_avoiding_cliff((binned.gidx, *rows), num_keys=1)
     s = srt[1:]
 
     if jax.default_backend() == "tpu" and not os.environ.get("MTGS_NO_SEGSUM"):
@@ -265,6 +276,23 @@ def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
 
 
+def _sort_avoiding_cliff(operands, num_keys: int):
+    """`lax.sort`, padding the operand count off the 11-operand cliff.
+
+    The on-chip microbench (results/onchip/*/microbench.log) shows an
+    ~5x latency cliff at EXACTLY 11 operands (0.61 ms vs 0.08 @ 5 and
+    0.11 @ 13 for n=1M) — XLA's sort tiling degenerates there. RGB
+    rendering (c_total=4, nw=10) hits 11 operands on every fused sort;
+    one zero dummy operand sidesteps it.
+    """
+    ops = list(operands)
+    if len(ops) == 11:
+        ops.append(jnp.zeros_like(ops[-1]))
+        out = jax.lax.sort(tuple(ops), num_keys=num_keys, is_stable=False)
+        return out[:-1]
+    return jax.lax.sort(tuple(ops), num_keys=num_keys, is_stable=False)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gather_fused(statics, table, packed_in, counts_in, depths, sink):
     out, _ = _gather_fused_fwd(statics, table, packed_in, counts_in, depths, sink)
@@ -288,10 +316,10 @@ def _gather_fused_fwd(statics, table, packed_in, counts_in, depths, sink):
     depth_key = jnp.where(
         counts_in > 0, jax.lax.stop_gradient(depths), jnp.inf
     )
-    srt = jax.lax.sort(
+    srt = _sort_avoiding_cliff(
         (depth_key, jnp.arange(n, dtype=jnp.int32), packed_in, counts_in,
          *(table[:, j] for j in range(nw))),
-        num_keys=2, is_stable=False,
+        num_keys=2,
     )
     perm, packed, counts = srt[1], srt[2], srt[3]
     offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
@@ -314,8 +342,8 @@ def _gather_fused_fwd(statics, table, packed_in, counts_in, depths, sink):
     )
 
     # 3. pair sort with attribute payloads (key encodes (tile, depth))
-    srt2 = jax.lax.sort(
-        (key, *(attrs[j] for j in range(nw))), num_keys=1, is_stable=False
+    srt2 = _sort_avoiding_cliff(
+        (key, *(attrs[j] for j in range(nw))), num_keys=1
     )
     key_s = srt2[0]
     w_pad = _round8(nw)
@@ -337,9 +365,9 @@ def _gather_fused_bwd(statics, res, cot):
 
     # back to depth-slot order (slot is a permutation: non-stable is exact)
     slot = key_s & ((1 << slot_bits(I)) - 1)
-    srt3 = jax.lax.sort(
+    srt3 = _sort_avoiding_cliff(
         (slot, *(g_slab_t[j, :I] for j in range(nw))),
-        num_keys=1, is_stable=False,
+        num_keys=1,
     )
     s = srt3[1:]
 
@@ -356,7 +384,7 @@ def _gather_fused_bwd(statics, res, cot):
     sum_rows = [sums_t[j, :n] for j in range(nw + 2)]
 
     # sorted-gaussian order -> input order (replaces the inv_perm gather)
-    srt4 = jax.lax.sort((perm, *sum_rows), num_keys=1, is_stable=False)
+    srt4 = _sort_avoiding_cliff((perm, *sum_rows), num_keys=1)
     outs = srt4[1:]
     g_table = jnp.stack(outs[:nw], axis=-1)
     absgrad = jnp.stack(outs[nw: nw + 2], axis=-1)
@@ -381,6 +409,8 @@ def rasterize(
     *,
     tap2d: Optional[jax.Array] = None,
     absgrad_sink: Optional[jax.Array] = None,
+    mesh=None,
+    shard_axis: str = "data",
 ) -> Tuple[jax.Array, jax.Array, dict]:
     """Render one camera view of a set of 3D Gaussians.
 
@@ -395,6 +425,14 @@ def rasterize(
         config: static RasterizeConfig.
         tap2d / absgrad_sink: optional zeros-[N, 2] gradient taps (see
             module docstring).
+        mesh / shard_axis: when a `jax.sharding.Mesh` is given, the
+            per-tile blend — the hot loop in BOTH directions — runs
+            `shard_map`'d over `shard_axis` with each chip blending a
+            contiguous block of global tiles (SURVEY §2.4's tile-space
+            sharding). Fully differentiable: the intersection slab is
+            replicated, each shard's backward writes gradients only into
+            its own tiles' slot range, and the shard_map transpose psums
+            the per-gaussian slab cotangents over ICI.
 
     Returns:
         render: [H, W, C(+1 if depth mode)] — raw channels; ED mode's last
@@ -511,9 +549,34 @@ def rasterize(
         tile_size=config.tile_size, tiles_x=config.tiles_x,
         backend=backend, interpret=config.interpret, c_total=c_total,
     )
-    rgb_tiles, t_final = _blend(
-        statics, slab_t, tile_offsets, tile_heads, tcounts, tile_nchunks,
-    )
+    if mesh is None:
+        rgb_tiles, t_final = _blend(
+            statics, slab_t, tile_offsets, tile_heads, tcounts, tile_nchunks,
+            jnp.zeros((1,), jnp.int32),
+        )
+    else:
+        from jax.sharding import PartitionSpec as _P
+
+        n_dev = mesh.shape[shard_axis]
+        T = tile_offsets.shape[0]
+        T_pad = -(-T // n_dev) * n_dev
+        padT = lambda a: jnp.pad(a, (0, T_pad - T))
+
+        def shard_fn(offs_l, hds_l, cnts_l, nchk_l, slab_l):
+            base = (jax.lax.axis_index(shard_axis)
+                    * offs_l.shape[0]).astype(jnp.int32).reshape(1)
+            return _blend(statics, slab_l, offs_l, hds_l, cnts_l, nchk_l, base)
+
+        rgb_tiles, t_final = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(_P(shard_axis), _P(shard_axis), _P(shard_axis),
+                      _P(shard_axis), _P()),
+            out_specs=(_P(shard_axis), _P(shard_axis)),
+            check_vma=False,
+        )(padT(tile_offsets), padT(tile_heads), padT(tcounts),
+          padT(tile_nchunks), slab_t)
+        rgb_tiles, t_final = rgb_tiles[:T], t_final[:T]
 
     ts = config.tile_size
     img = rgb_tiles.reshape(config.tiles_y, config.tiles_x, c_total, ts, ts)

@@ -1,0 +1,125 @@
+"""Densification growth demo: 100k seeds -> >= 1M alive gaussians.
+
+VERDICT r1 item 1's acceptance run: a road-block-scale synthetic scene
+seeded well below the reference's final size must GROW past its seed
+capacity through the Trainer's host-side capacity growth — re-padding
+params + Adam moments + densify state and re-jitting — with zero dropped
+split/dup candidates (overflow == 0), mirroring the reference's free
+tensor reallocation (`vanilla_gaussian_splatting.py:635-699` in
+OpenDriveLab/MTGS).
+
+The densify criteria are driven hard (tiny grad threshold) so the
+population multiplies every refine pass; the point is the MACHINERY
+(growth, optimizer-state continuity, buffer growth), not the schedule.
+
+Run (on the chip):  python -m mtgs_tpu.tools.grow_demo
+Smoke (CPU):        --n-bg 2000 --target 20000 --width 128 --height 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=960)
+    ap.add_argument("--height", type=int, default=540)
+    ap.add_argument("--n-bg", type=int, default=100_000)
+    ap.add_argument("--target", type=int, default=1_000_000)
+    ap.add_argument("--max-steps", type=int, default=2000)
+    ap.add_argument("--refine-every", type=int, default=50)
+    ap.add_argument("--max-isect", type=int, default=1 << 21)
+    ap.add_argument("--backend", default="auto")
+    args = ap.parse_args(argv)
+
+    from mtgs_tpu.data.synthetic import (
+        batch_iterator, build_scene_model, make_synthetic_scene,
+    )
+    from mtgs_tpu.train import control as ctrl
+    from mtgs_tpu.train import losses as loss_lib
+    from mtgs_tpu.train.trainer import Trainer, TrainerConfig
+
+    t0 = time.perf_counter()
+    scene = make_synthetic_scene(
+        seed=0, width=args.width, height=args.height, n_travels=2,
+        n_frames=3, n_bg=args.n_bg, n_instance=0, extent=60.0,
+        backend=args.backend,
+    )
+    params, aux = build_scene_model(scene, with_instances=False)
+    print(f"# scene+model in {time.perf_counter() - t0:.1f}s; "
+          f"seed={int(np.asarray(aux.background.num_alive))} "
+          f"capacity={params.background.capacity}", file=sys.stderr)
+    cap0 = params.background.capacity
+
+    cfg = TrainerConfig(
+        width=args.width, height=args.height,
+        max_intersections=args.max_isect,
+        rasterize_mode="antialiased", backend=args.backend,
+        predict_normals=False,
+        control=ctrl.ControlConfig(
+            densify_from_iter=10,
+            refine_every=args.refine_every,
+            stop_split_at=10**9,
+            reset_alpha_every=10**9,
+            densify_grad_thresh=1e-9,   # duplicate everything visible
+            densify_size_thresh=1e9,    # dup (not split): population x2
+        ),
+        loss=loss_lib.LossConfig(ssim_lambda=0.2, depth_lambda=0.0,
+                                 ncc_lambda=0.0),
+    )
+    trainer = Trainer(cfg, params, aux, batch_iterator(scene))
+
+    t_start = time.perf_counter()
+    steps_done = 0
+    while steps_done < args.max_steps:
+        span = min(args.refine_every, args.max_steps - steps_done)
+        trainer.train(span)
+        steps_done += span
+        alive = int(np.asarray(trainer.aux.background.num_alive))
+        cap = trainer.state.params.background.capacity
+        print(f"# step {steps_done}: alive={alive} capacity={cap} "
+              f"overflow={trainer.refine_overflow} "
+              f"max_isect={trainer.cfg.max_intersections}", file=sys.stderr)
+        if alive >= args.target:
+            break
+
+    alive = int(np.asarray(trainer.aux.background.num_alive))
+    capf = trainer.state.params.background.capacity
+    adam_state, _ = trainer.state.opt_state
+    ok_shapes = (
+        adam_state.mu.background.means.shape
+        == trainer.state.params.background.means.shape
+        and trainer.state.densify["background"].xys_grad_norm.shape[0] == capf
+    )
+    elapsed = time.perf_counter() - t_start
+    growth_events = trainer.growth_events
+    print(f"# growth events: {growth_events}", file=sys.stderr)
+    result = {
+        "metric": f"densify growth demo ({args.n_bg} seeds -> target "
+                  f"{args.target} alive)",
+        "value": alive,
+        "unit": "alive gaussians",
+        "vs_baseline": round(alive / args.target, 3),
+        "seed_capacity": cap0,
+        "final_capacity": capf,
+        "overflow": trainer.refine_overflow,
+        "n_growth_events": len(growth_events),
+        "optimizer_state_consistent": bool(ok_shapes),
+        "steps": steps_done,
+        "elapsed_s": round(elapsed, 1),
+    }
+    print(json.dumps(result))
+    ok = (alive >= args.target and trainer.refine_overflow == 0 and ok_shapes
+          and capf > cap0)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

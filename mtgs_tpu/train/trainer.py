@@ -56,7 +56,7 @@ class TrainerConfig(struct.PyTreeNode):
     max_intersections: int = struct.field(pytree_node=False, default=1 << 21)
     rasterize_mode: str = struct.field(pytree_node=False, default="antialiased")
     backend: str = struct.field(pytree_node=False, default="auto")
-    fused: bool = struct.field(pytree_node=False, default=False)
+    fused: bool = struct.field(pytree_node=False, default=True)
     max_steps: int = struct.field(pytree_node=False, default=30001)
     predict_normals: bool = struct.field(pytree_node=False, default=True)
     background_color: float = struct.field(pytree_node=False, default=0.0)

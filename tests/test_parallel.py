@@ -124,3 +124,84 @@ def test_tile_sharded_render_matches_single_device(setup):
     r, a, _ = rasterize(means, quats, scales, opac, colors, viewmat, K, cfg)
     np.testing.assert_allclose(np.asarray(r_sh), np.asarray(r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(a_sh), np.asarray(a), atol=1e-5)
+
+
+def _tiny_scene(n=300, seed=0):
+    rng = np.random.default_rng(seed)
+    means = jnp.asarray(
+        np.concatenate([rng.uniform(-3, 3, (n, 2)),
+                        rng.uniform(-9, -4, (n, 1))], 1), jnp.float32)
+    quats = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    scales = jnp.asarray(rng.uniform(0.05, 0.3, (n, 3)), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.2, 0.9, n), jnp.float32)
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+    return means, quats, scales, opac, colors
+
+
+def test_tile_sharded_gradients_match_single_device():
+    """The north-star path (SURVEY §2.4): FULL gradients through the
+    tile-sharded blend — parameter grads, the means2d tap, and the
+    absgrad densify signal — match the unsharded rasterizer. The
+    shard_map transpose psums the replicated slab's cotangents."""
+    from mtgs_tpu.core.camera import camera_to_gsplat_viewmat
+    from mtgs_tpu.raster import RasterizeConfig, rasterize
+
+    means, quats, scales, opac, colors = _tiny_scene()
+    n = means.shape[0]
+    viewmat = camera_to_gsplat_viewmat(jnp.eye(4))
+    K = jnp.asarray([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]], jnp.float32)
+    cfg = RasterizeConfig(width=64, height=64, tile_size=32,
+                          max_intersections=1 << 13, backend="xla",
+                          render_mode="RGB+ED", rasterize_mode="antialiased")
+    target = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (64, 64, 4)), jnp.float32)
+    mesh = make_mesh([4], ("data",), devices=jax.devices()[:4])
+
+    def loss_fn(params, sink, use_mesh):
+        m, q, s, o, c = params
+        render, alpha, _ = rasterize(
+            m, q, s, o, c, viewmat, K, cfg, absgrad_sink=sink,
+            mesh=mesh if use_mesh else None)
+        return jnp.abs(render - target).mean() + 0.1 * alpha.mean()
+
+    params = (means, quats, scales, opac, colors)
+    sink = jnp.zeros((n, 2), jnp.float32)
+    g1, a1 = jax.grad(loss_fn, argnums=(0, 1))(params, sink, False)
+    g2, a2 = jax.grad(loss_fn, argnums=(0, 1))(params, sink, True)
+    for u, v, name in zip(g1, g2, ("means", "quats", "scales", "opac", "colors")):
+        np.testing.assert_allclose(
+            np.asarray(u), np.asarray(v), atol=2e-5, err_msg=name)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=2e-5)
+    assert float(jnp.abs(a2).max()) > 0  # absgrad signal actually flows
+
+
+def test_tile_sharded_pallas_interpret_base_ref():
+    """The Pallas blend under shard_map (interpret mode): the base_ref
+    global-tile-origin path produces the same image and gradients as the
+    unsharded Pallas kernel (VERDICT r1 weak #5)."""
+    from mtgs_tpu.core.camera import camera_to_gsplat_viewmat
+    from mtgs_tpu.raster import RasterizeConfig, rasterize
+
+    means, quats, scales, opac, colors = _tiny_scene(n=150, seed=2)
+    viewmat = camera_to_gsplat_viewmat(jnp.eye(4))
+    K = jnp.asarray([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]], jnp.float32)
+    cfg = RasterizeConfig(width=64, height=64, tile_size=32,
+                          max_intersections=1 << 12, backend="pallas",
+                          interpret=True)
+    mesh = make_mesh([2], ("data",), devices=jax.devices()[:2])
+
+    def loss_fn(params, use_mesh):
+        m, q, s, o, c = params
+        render, alpha, _ = rasterize(
+            m, q, s, o, c, viewmat, K, cfg,
+            mesh=mesh if use_mesh else None)
+        return (render ** 2).mean() + alpha.mean()
+
+    params = (means, quats, scales, opac, colors)
+    r1, _, _ = rasterize(*params, viewmat, K, cfg)
+    r2, _, _ = rasterize(*params, viewmat, K, cfg, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+    g1 = jax.grad(loss_fn)(params, False)
+    g2 = jax.grad(loss_fn)(params, True)
+    for u, v in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=2e-5)

@@ -404,3 +404,79 @@ def test_road_block_config_py_module(tmp_path):
     cfg = load_road_block_config(tmp_path / "cfg.py")
     assert cfg.city == "sg-one-north"
     assert cfg.road_block == (0, 0, 10, 10)
+
+
+def test_rolling_shutter_cam_to_ego():
+    """Rolling-shutter pose compensation (nuplan_utils_custom.py:150-156):
+    the camera extrinsic is re-expressed in the LiDAR sweep's ego frame
+    using the ego pose nearest to img_ts + shutter."""
+    from mtgs_tpu.preprocess.video_split import (
+        nearest_ego_pose, pose_matrix, rolling_shutter_cam_to_ego)
+
+    # ego drives +x at 10 m/s; poses every 0.1 s
+    ts = np.arange(10) * 1e5  # us
+    poses = np.stack([pose_matrix([i * 1.0, 0, 0], [1, 0, 0, 0])
+                      for i in range(10)])
+    lidar_e2g = poses[2]          # sweep at t=0.2 s (x=2)
+    cam_calib = pose_matrix([0.5, 0, 1.5], [1, 0, 0, 0])
+
+    # image at the same time, zero shutter: pure calibration
+    c2e = rolling_shutter_cam_to_ego(
+        2e5, lidar_e2g, ts, poses, cam_calib, rolling_shutter_s=0.0)
+    np.testing.assert_allclose(c2e, cam_calib, atol=1e-9)
+
+    # shutter pushes the lookup to the next pose (t=0.3 s, x=3): the
+    # camera appears 1 m further along +x in the lidar ego frame
+    c2e = rolling_shutter_cam_to_ego(
+        2e5, lidar_e2g, ts, poses, cam_calib, rolling_shutter_s=0.1)
+    np.testing.assert_allclose(c2e[0, 3], 1.5, atol=1e-9)
+    np.testing.assert_allclose(c2e[:3, :3], np.eye(3), atol=1e-9)
+
+    # nearest lookup: 0.24 s rounds down to pose 2, 0.26 s up to pose 3
+    np.testing.assert_allclose(nearest_ego_pose(ts, poses, 2.4e5)[0, 3], 2.0)
+    np.testing.assert_allclose(nearest_ego_pose(ts, poses, 2.6e5)[0, 3], 3.0)
+
+
+def test_build_video_record_assembly():
+    """Frame-record assembly (nuplan_video_processing.py:260-347):
+    road-block-local translations, out_of_region skip flag, broken-camera
+    frames dropped, lidar2global chain."""
+    from mtgs_tpu.preprocess.video_split import build_video_record
+
+    road_block = (100.0, 200.0, 140.0, 240.0)  # center (120, 220)
+
+    def frame(tok, x, y, t):
+        can_bus = np.zeros(18)
+        can_bus[:3] = [x, y, 1.0]
+        can_bus[3] = 1.0  # identity quat wxyz
+        return dict(
+            token=tok, timestamp=t, log_name="log", log_token="lt",
+            lidar_path=f"{tok}.pcd", can_bus=can_bus,
+            lidar2ego_translation=[0.1, 0.0, 1.8],
+            lidar2ego_rotation=[1, 0, 0, 0],
+        )
+
+    cams8 = {f"CAM_{i}": dict(data_path=f"c{i}.jpg") for i in range(8)}
+    frames = [
+        frame("a", 120.0, 220.0, 1_000_000),   # center, in region
+        frame("b", 90.0, 220.0, 1_100_000),    # 10 m out of block+buffer
+        frame("c", 121.0, 221.0, 1_200_000),   # in region, broken cams
+    ]
+    rec = build_video_record(
+        dict(video_token="v0", log_name="log", log_token="lt"),
+        frames, [cams8, cams8, {"CAM_0": {}}],
+        road_block=road_block, reconstruct_buffer=5.0, baseline_z=1.0,
+    )
+    # broken-camera frame dropped entirely
+    assert [f["token"] for f in rec["frame_infos"]] == ["a", "b"]
+    fa, fb = rec["frame_infos"]
+    assert fa["skipped"] is False
+    assert fb["skipped"] == "out_of_region"
+    # translations are road-block-local (center + baseline z removed)
+    np.testing.assert_allclose(fa["ego2global_translation"], [0, 0, 0])
+    np.testing.assert_allclose(fb["ego2global_translation"], [-30, 0, 0])
+    # lidar2global = ego2global @ lidar2ego
+    np.testing.assert_allclose(
+        fa["lidar2global"][:3, 3], [0.1, 0.0, 1.8], atol=1e-12)
+    np.testing.assert_allclose(rec["global2world_translation"], [120, 220, 1.0])
+    assert rec["start_ts"] == 1_000_000 and rec["end_ts"] == 1_200_000
