@@ -46,9 +46,12 @@ from mtgs_tpu.raster.chunk_math import CHUNK, LOG_T_EPS
 
 
 def _db_dma() -> bool:
+    """Double-buffered chunk DMA — DEFAULT ON. On-chip (results/onchip,
+    1M gaussians, 960x540 fwd+bwd): classic 95.5 -> 68.5 ms, fused
+    70.8 -> 68.6 ms. Set MTGS_DB_DMA=0 to fall back to single-buffer."""
     import os
 
-    return bool(os.environ.get("MTGS_DB_DMA"))
+    return os.environ.get("MTGS_DB_DMA", "1") != "0"
 
 
 def _origin(tile_id, tiles_x: int, tile_size: int):

@@ -60,12 +60,14 @@ run_step microbench      1800 -- python -m mtgs_tpu.tools.microbench_ops
 run_step validate_fused  1800 -- python -m mtgs_tpu.tools.validate_fused
 run_step profile_classic 1800 -- python -m mtgs_tpu.tools.profile_raster --iters 10
 run_step profile_fused   1800 -- python -m mtgs_tpu.tools.profile_raster --iters 10 --fused
-run_step bench_classic       1800 -- python bench.py
-run_step bench_fused         1800 MTGS_FUSED=1 -- python bench.py
-run_step bench_classic_dbdma 1800 MTGS_DB_DMA=1 -- python bench.py
-run_step bench_fused_dbdma   1800 MTGS_FUSED=1 MTGS_DB_DMA=1 -- python bench.py
-run_step train_classic       2400 -- python -m mtgs_tpu.tools.bench_train
+run_step bench_fused         1800 -- python bench.py
+run_step bench_classic       1800 MTGS_FUSED=0 -- python bench.py
+
+run_step bench_classic_nodb  1800 MTGS_FUSED=0 MTGS_DB_DMA=0 -- python bench.py
+run_step bench_fused_nodb    1800 MTGS_DB_DMA=0 -- python bench.py
 run_step train_fused         2400 -- python -m mtgs_tpu.tools.bench_train --fused
+run_step train_classic       2400 -- python -m mtgs_tpu.tools.bench_train
+run_step grow_demo           2400 -- python -m mtgs_tpu.tools.grow_demo
 
 echo "=== batch complete ==="
 cat "$STATUS"
