@@ -5,10 +5,16 @@ Measures forward+backward rays/s on the MTGS training workload shape:
 `mtgs/config/MTGS.py:43`), photometric loss, full parameter gradients.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline` is relative to 2.0e6 rays/s fwd+bwd — the single-GPU
-throughput class of the reference implementation (gsplat-based 3DGS
-trainers run ~3-5 full-image iters/s at 0.5M rays on A100-class GPUs;
-the MTGS repo publishes no numbers in-repo, see BASELINE.md).
+
+`vs_baseline` normalizes by 2.0e6 rays/s fwd+bwd. That constant is an
+ESTIMATE, not a measurement (no CUDA GPU exists in this environment and
+the MTGS repo publishes no numbers in-repo — BASELINE.md: the baseline is
+parity-defined): it corresponds to ~4 full-image iterations/s at this
+518k-ray resolution, the iteration-rate class of gsplat-based full-image
+3DGS training loops on A100-class hardware at ~1M gaussians (3DGS-style
+trainers report 25-40 min for 30k iterations). Treat vs_baseline as
+order-of-magnitude context; the absolute rays/s and the roofline report
+from `mtgs_tpu.tools.profile_raster` are the load-bearing numbers.
 """
 
 from __future__ import annotations

@@ -191,6 +191,7 @@ class SampleConfig:
     load_pseudo_depth: bool = True
     mask_classes: Tuple[str, ...] = ("pedestrian", "bicycle")
     mask_all_foreground: bool = False  # eval-only traversals
+    load_panoptic: bool = False
 
 
 def _resize(img: np.ndarray, scale: float, nearest: bool = False) -> np.ndarray:
@@ -236,6 +237,13 @@ def load_sample(
         if classes:
             mask = mask * (~semantic_class_mask(sem, classes))[..., None]
 
+    pan_inst = pan_sem = None
+    if (cfg.load_panoptic and rec.panoptic_mask_path
+            and Path(rec.panoptic_mask_path).exists()):
+        pan_inst, pan_sem = load_panoptic_map(
+            rec.panoptic_mask_path, rec.intrinsic, rec.distortion,
+            cfg.undistort, valid_mask=valid)
+
     out: Dict[str, np.ndarray] = {}
     depth = None
     if cfg.load_lidar_depth and rec.lidar_path and Path(rec.lidar_path).exists():
@@ -266,4 +274,41 @@ def load_sample(
         out["pseudo_depth"] = _resize(pseudo, s, nearest=True).reshape(
             out["image"].shape[0], out["image"].shape[1], 1
         )
+    if pan_inst is not None:
+        out["instance_map"] = _resize(pan_inst[..., 0], s, nearest=True)[
+            ..., None].astype(np.int32)
+        out["semantic_map"] = _resize(pan_sem[..., 0], s, nearest=True)[
+            ..., None].astype(np.int32)
     return out
+
+
+def load_panoptic_map(
+    path: str,
+    intrinsic: np.ndarray,
+    distortion: np.ndarray,
+    undistort: str,
+    *,
+    valid_mask: Optional[np.ndarray] = None,
+):
+    """Panoptic map decode (ref `custom_dataset.py:203-232`): .npy or a
+    3-channel PNG where instance id = ch0 + 256*ch1 and semantic class =
+    ch2; undistorted with nearest resampling; pixels outside the valid
+    undistortion region get instance 0 / semantic 255 (the reference's
+    invalid markers). Returns (instance_map [h,w,1] int32,
+    semantic_map [h,w,1] int32)."""
+    from PIL import Image
+
+    if str(path).endswith(".npy"):
+        pan = np.load(path)
+    else:
+        pan = np.asarray(Image.open(path)).astype(np.uint8)
+    pan_u, _, _ = undistort_image(pan, intrinsic, distortion, undistort,
+                                  nearest=True)
+    pan_u = pan_u.astype(np.int32)
+    inst = (pan_u[..., 0] + pan_u[..., 1] * 256)[..., None]
+    sem = pan_u[..., 2:3]
+    if valid_mask is not None:
+        bad = ~valid_mask.astype(bool)
+        inst[bad] = 0
+        sem[bad] = 255
+    return inst, sem

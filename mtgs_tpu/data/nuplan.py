@@ -101,6 +101,7 @@ class ImageRecord:
     raw_timestamp: int
     semantic_mask_path: Optional[str] = None
     depth_image_path: Optional[str] = None
+    panoptic_mask_path: Optional[str] = None
     width: int = 1920
     height: int = 1080
 

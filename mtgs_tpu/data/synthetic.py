@@ -123,7 +123,10 @@ def make_synthetic_scene(
     n_instance: int = 150,
     extent: float = 12.0,
     backend: str = "auto",
+    n_seed: int | None = None,
 ) -> SyntheticScene:
+    """`n_seed` caps the seed-point subsample (default 1200 — small
+    fixtures for tests); pass n_seed=n_bg for benchmark-scale models."""
     key = jax.random.key(seed)
     kb, ki = jax.random.split(key)
     bg = _gt_gaussians(kb, n_bg, extent)
@@ -204,7 +207,7 @@ def make_synthetic_scene(
 
     rng = np.random.default_rng(seed + 1)
     # noisy seed points (the "LiDAR+SfM" stand-in)
-    sub = rng.choice(n_bg, size=min(n_bg, 1200), replace=False)
+    sub = rng.choice(n_bg, size=min(n_bg, n_seed or 1200), replace=False)
     seed_xyz = np.asarray(bg[0])[sub] + rng.normal(0, 0.05, (len(sub), 3)).astype(np.float32)
     seed_rgb = np.clip(np.asarray(bg[4])[sub] * 255.0 + rng.normal(0, 10, (len(sub), 3)), 0, 255)
 
@@ -245,7 +248,7 @@ def batch_iterator(scene: SyntheticScene, seed: int = 0) -> Iterator[Batch]:
 
 def build_scene_model(scene: SyntheticScene, *, with_instances: bool = True,
                       with_skybox: bool = False, capacity: int | None = None,
-                      wild_appearance: bool = False):
+                      wild_appearance: bool = False, skybox_points: int = 2048):
     """Initialize SceneParams/SceneAux from a synthetic scene's seeds."""
     from mtgs_tpu.models.gaussians import (
         init_node_from_points, init_skybox_node, node_capacity,
@@ -262,7 +265,7 @@ def build_scene_model(scene: SyntheticScene, *, with_instances: bool = True,
     sky = None
     if with_skybox:
         sky = init_skybox_node(
-            num_points=2048, radius=300.0, scene_extent=20.0,
+            num_points=skybox_points, radius=300.0, scene_extent=20.0,
             num_traversals=scene.n_travels, multi_feature_rest=True,
         )
     inst = None

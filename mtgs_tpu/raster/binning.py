@@ -76,22 +76,54 @@ def tile_spans(
     width: int,
     height: int,
     tile_size: int,
+    conics: jax.Array = None,
+    op_eff: jax.Array = None,
 ):
     """Per-gaussian tile-span words in input order (order-independent
     math shared by both binning paths): returns (packed, counts) where
-    packed = tmin_x | tmin_y << 11 | span_x << 22."""
+    packed = tmin_x | tmin_y << 11 | span_x << 22.
+
+    When `conics` ([N, 3] cxx, cxy, cyy of the blurred covariance) and
+    `op_eff` ([N] post-compensation opacities) are given, the gsplat
+    circle AABB is intersected with the per-axis AABB of the EXACT alpha
+    support {S <= ln(255 * op_eff)} — the blend kernel's contrib test is
+    `op_eff * exp(-S) >= 1/255`, so a tile fully outside that level set
+    contributes exactly zero forward value AND zero gradient for every
+    pixel. Dropping those pairs is bit-exact (golden tests cover it) and
+    cuts intersections hardest for anisotropic / low-opacity gaussians,
+    where the isotropic 3-sigma_max circle overcovers. The level set's
+    half-extent along x is sqrt(2 * S_cut * v00b) with v00b = cyy /
+    det(conic) (and symmetrically for y); a 0.5 px + 1% S margin absorbs
+    f32 rounding between this bound and the kernel's per-pixel S.
+    """
     tiles_x = -(-width // tile_size)
     tiles_y = -(-height // tile_size)
     rf = radii.astype(jnp.float32)
-    tmin_x = jnp.clip(jnp.floor((means2d[:, 0] - rf) / tile_size), 0, tiles_x).astype(jnp.int32)
-    tmax_x = jnp.clip(jnp.ceil((means2d[:, 0] + rf) / tile_size), 0, tiles_x).astype(jnp.int32)
-    tmin_y = jnp.clip(jnp.floor((means2d[:, 1] - rf) / tile_size), 0, tiles_y).astype(jnp.int32)
-    tmax_y = jnp.clip(jnp.ceil((means2d[:, 1] + rf) / tile_size), 0, tiles_y).astype(jnp.int32)
+    rx = ry = rf
+    if conics is not None and op_eff is not None:
+        conics = jax.lax.stop_gradient(conics)
+        a, b, c = conics[:, 0], conics[:, 1], conics[:, 2]
+        det = jnp.maximum(a * c - b * b, 1e-24)
+        s_cut = jnp.log(jnp.maximum(op_eff, 1e-12) * 255.0) * 1.01
+        pos = s_cut > 0.0
+        ext = lambda diag: jnp.where(
+            pos, jnp.sqrt(jnp.maximum(2.0 * s_cut * diag / det, 0.0)) + 0.5, 0.0
+        )
+        rx = jnp.minimum(rf, ext(c))   # v00b = cyy / det(conic)
+        ry = jnp.minimum(rf, ext(a))
+    tmin_x = jnp.clip(jnp.floor((means2d[:, 0] - rx) / tile_size), 0, tiles_x).astype(jnp.int32)
+    tmax_x = jnp.clip(jnp.ceil((means2d[:, 0] + rx) / tile_size), 0, tiles_x).astype(jnp.int32)
+    tmin_y = jnp.clip(jnp.floor((means2d[:, 1] - ry) / tile_size), 0, tiles_y).astype(jnp.int32)
+    tmax_y = jnp.clip(jnp.ceil((means2d[:, 1] + ry) / tile_size), 0, tiles_y).astype(jnp.int32)
     # span_x capped at 255 so it bit-packs (a gaussian spanning >255 tile
     # columns would cover a >8000px-wide footprint)
     span_x = jnp.clip(tmax_x - tmin_x, 0, 255)
     span_y = jnp.maximum(tmax_y - tmin_y, 0)
     live = valid & (radii > 0)
+    if op_eff is not None:
+        # contrib needs raw = op_eff * exp(-S) >= 1/255 with S >= 0, so
+        # op_eff < 1/255 can never contribute anywhere — exact drop
+        live = live & (op_eff >= 1.0 / 255.0)
     counts = jnp.where(live, span_x * span_y, 0).astype(jnp.int32)
     packed = tmin_x | (tmin_y << 11) | (span_x << 22)
     return packed, counts
@@ -128,6 +160,8 @@ def bin_gaussians(
     height: int,
     tile_size: int,
     max_intersections: int,
+    conics: jax.Array = None,
+    op_eff: jax.Array = None,
 ) -> BinnedIntersections:
     """Build the tile-sorted per-tile intersection lists.
 
@@ -153,7 +187,8 @@ def bin_gaussians(
     # ONE packed [N, 2] gather instead of separate means2d/radii/valid
     # permutation gathers, the former top cost of this stage) ----------
     packed_in, counts_in = tile_spans(
-        means2d, radii, valid, width=width, height=height, tile_size=tile_size
+        means2d, radii, valid, width=width, height=height,
+        tile_size=tile_size, conics=conics, op_eff=op_eff,
     )
 
     # ---- 2. global depth sort (span words ride as sort payload — a

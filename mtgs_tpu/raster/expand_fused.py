@@ -129,9 +129,21 @@ def _compute(win, g0, k, tot_ref, base_ref, key_ref, src_ref, attr_ref,
         attr_ref[nw:] = jnp.zeros_like(attr_ref[nw:])
 
     # telescoped integer fields via the precomputed global delta rows
-    # (exclusive first differences; all values < 2^24: exact in f32):
-    # sum_{j indicated} D_row[j] = row[owner] - row[anchor-1], and the
-    # scalar-prefetched base_ref[k] = row[anchor-1] adds the rest.
+    # (exclusive first differences): sum_{j indicated} D_row[j] =
+    # row[owner] - row[anchor-1], and the scalar-prefetched base_ref[k] =
+    # row[anchor-1] adds the rest.
+    #
+    # Exactness assumption (advisor r1): the TELESCOPED result and the
+    # row values are < 2^24, but individual D rows are signed and an
+    # arbitrary-order partial subset sum of D_hi could transiently exceed
+    # 2^24 for very wide spans. Precision.HIGHEST makes the MXU
+    # accumulate this contraction in f32 adds whose partials are bounded
+    # by max_j |prefix up to j| only under left-to-right order; on TPU the
+    # systolic accumulation IS sequential over K, so partials telescope
+    # and stay < 2^24. `validate_fused` runs fused-vs-classic forward and
+    # gradient parity ON CHIP at bench scale (results/onchip/*/
+    # validate_fused.log) — corrupted off_s/lo_s/hi_s from a reordered
+    # contraction would show up there as render/grad mismatches.
     vals = win[nw + 2: nw + 6]                                   # [4, WINA]
     g = jax.lax.dot_general(
         vals, i1t, (((1,), (1,)), ((), ())),

@@ -509,6 +509,7 @@ def rasterize(
             jax.lax.stop_gradient(means2d), proj.radii, live,
             width=config.width, height=config.height,
             tile_size=config.tile_size,
+            conics=proj.conics, op_eff=jax.lax.stop_gradient(op_eff),
         )
         fstat = _FusedStatics(
             c_total=c_total, max_intersections=config.max_intersections,
@@ -534,6 +535,7 @@ def rasterize(
             width=config.width, height=config.height,
             tile_size=config.tile_size,
             max_intersections=config.max_intersections,
+            conics=proj.conics, op_eff=jax.lax.stop_gradient(op_eff),
         )
         gather_statics = _GatherStatics(
             c_total=c_total, max_intersections=config.max_intersections

@@ -39,7 +39,8 @@ def main(argv=None):
     ap.add_argument("--n-instance", type=int, default=20_000)
     ap.add_argument("--skybox", action="store_true", default=True)
     ap.add_argument("--no-skybox", dest="skybox", action="store_false")
-    ap.add_argument("--max-isect", type=int, default=2 << 20)
+    ap.add_argument("--max-isect", type=int, default=3 << 20)
+    ap.add_argument("--skybox-points", type=int, default=100_000)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--fused", action="store_true")
     ap.add_argument("--backend", default="auto")
@@ -57,13 +58,14 @@ def main(argv=None):
         seed=0, width=args.width, height=args.height,
         n_travels=2, n_frames=3,
         n_bg=args.n_bg, n_instance=args.n_instance,
-        extent=60.0, backend=args.backend,
+        extent=60.0, backend=args.backend, n_seed=args.n_bg,
     )
     print(f"# scene built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     params, aux = build_scene_model(
         scene, with_instances=True, with_skybox=args.skybox,
+        skybox_points=args.skybox_points,
     )
     print(f"# model init in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 

@@ -50,7 +50,7 @@ def main(argv=None):
     scene = make_synthetic_scene(
         seed=0, width=args.width, height=args.height, n_travels=2,
         n_frames=3, n_bg=args.n_bg, n_instance=0, extent=60.0,
-        backend=args.backend,
+        backend=args.backend, n_seed=args.n_bg,
     )
     params, aux = build_scene_model(scene, with_instances=False)
     print(f"# scene+model in {time.perf_counter() - t0:.1f}s; "

@@ -77,10 +77,12 @@ def main(argv=None):
         pr = project_gaussians(
             m, q, s, viewmat, K, W, H, near_plane=cfg.near_plane,
             far_plane=cfg.far_plane, antialiased=True)
-        live = pr.valid & (o * pr.compensations > 0)
+        op = o * pr.compensations
+        live = pr.valid & (op > 0)
         b = binning.bin_gaussians(
             pr.means2d, pr.radii, pr.depths, live, width=W, height=H,
-            tile_size=cfg.tile_size, max_intersections=cfg.max_intersections)
+            tile_size=cfg.tile_size, max_intersections=cfg.max_intersections,
+            conics=pr.conics, op_eff=op)
         return chain(
             (b.gidx.astype(jnp.float32), b.tile_offsets.astype(jnp.float32)), p)
 
@@ -129,10 +131,12 @@ def main(argv=None):
             pr = project_gaussians(
                 m, q, s, viewmat, K, W, H, near_plane=cfg.near_plane,
                 far_plane=cfg.far_plane, antialiased=True)
-            live = pr.valid & (o * pr.compensations > 0)
+            op = o * pr.compensations
+            live = pr.valid & (op > 0)
             packed, counts = binning.tile_spans(
                 jax.lax.stop_gradient(pr.means2d), pr.radii, live,
-                width=W, height=H, tile_size=cfg.tile_size)
+                width=W, height=H, tile_size=cfg.tile_size,
+                conics=pr.conics, op_eff=jax.lax.stop_gradient(op))
             return chain((packed.astype(jnp.float32),
                           counts.astype(jnp.float32)), p), pr, packed, counts
 
@@ -225,10 +229,12 @@ def _roofline(cfg, params, viewmat, K, t_fwd_ms, t_fwdbwd_ms):
         pr = project_gaussians(
             m, q, s, viewmat, K, W, H, near_plane=cfg.near_plane,
             far_plane=cfg.far_plane, antialiased=True)
-        live = pr.valid & (o * pr.compensations > 0)
+        op = o * pr.compensations
+        live = pr.valid & (op > 0)
         b = binning.bin_gaussians(
             pr.means2d, pr.radii, pr.depths, live, width=W, height=H,
-            tile_size=cfg.tile_size, max_intersections=cfg.max_intersections)
+            tile_size=cfg.tile_size, max_intersections=cfg.max_intersections,
+            conics=pr.conics, op_eff=op)
         return b.n_intersections, b.tile_nchunks.sum()
 
     n_isect, n_chunks = jax.device_get(stats(params))
@@ -267,11 +273,19 @@ def _roofline(cfg, params, viewmat, K, t_fwd_ms, t_fwdbwd_ms):
           f"measured {rays/(t_fwdbwd_ms*1e-3)/1e6:.2f} Mrays/s")
 
     if args.trace:
+        from mtgs_tpu.utils.observability import summarize_trace
+
         f = jax.jit(fwdbwd)
         jax.block_until_ready(f(params))
+        n_tr = 5
         with jax.profiler.trace(args.trace):
-            jax.block_until_ready(f(params))
-        print(f"trace written to {args.trace}")
+            x = params
+            for _ in range(n_tr):
+                x = f(x)
+            jax.block_until_ready(x)
+        print(f"trace written to {args.trace}; top ops (per step):")
+        for ms, cnt, name in summarize_trace(args.trace, top=25, iters=n_tr):
+            print(f"  {ms:9.3f} ms  x{cnt:<4d} {name}")
 
 
 if __name__ == "__main__":

@@ -78,7 +78,34 @@ class TrainerConfig(struct.PyTreeNode):
     control: ctrl.ControlConfig = struct.field(
         pytree_node=False, default_factory=ctrl.ControlConfig
     )
+    # per-node control override cascade (the reference merges global
+    # `control` defaults with per-node non-None fields,
+    # `_update_gaussian_cfg`, mtgs_scene_graph.py:194-205). None =>
+    # inherit `control`; the skybox additionally gets its far-cull
+    # specialization applied on top unless overridden here.
+    skybox_control: Optional[ctrl.ControlConfig] = struct.field(
+        pytree_node=False, default=None)
+    instances_control: Optional[ctrl.ControlConfig] = struct.field(
+        pytree_node=False, default=None)
+    deformables_control: Optional[ctrl.ControlConfig] = struct.field(
+        pytree_node=False, default=None)
     scene: SceneConfig = struct.field(pytree_node=False, default_factory=SceneConfig)
+
+    def node_control(self, node: str) -> ctrl.ControlConfig:
+        """Resolved ControlConfig for a node kind."""
+        if node == "skybox":
+            if self.skybox_control is not None:
+                return self.skybox_control
+            # default skybox policy: no far-background cull exemption
+            # (its own radius-based cull threshold, skybox_gaussian_
+            # splatting.py:130-163)
+            return dataclasses.replace(
+                self.control, far_dist=1e8, far_scale_factor=1.0)
+        if node == "instances":
+            return self.instances_control or self.control
+        if node == "deformables":
+            return self.deformables_control or self.control
+        return self.control
 
     def raster_config(self) -> RasterizeConfig:
         return RasterizeConfig(
@@ -448,6 +475,9 @@ class Trainer:
         key = ("count",) + flags
         if key not in self._refine_fns:
             cc = self.cfg.control
+            sky_cc = self.cfg.node_control("skybox")
+            inst_cc = self.cfg.node_control("instances")
+            def_cc = self.cfg.node_control("deformables")
             do_densify, do_cull_big, use_screen = flags
             kw = dict(
                 do_densify=do_densify, do_cull_big=do_cull_big,
@@ -464,7 +494,6 @@ class Trainer:
                     )
                 }
                 if params.skybox is not None:
-                    sky_cc = dataclasses.replace(cc, far_dist=1e8, far_scale_factor=1.0)
                     out["skybox"] = ctrl.count_refine_candidates(
                         params.skybox, aux.skybox, state.densify["skybox"],
                         sky_cc, **kw,
@@ -474,7 +503,7 @@ class Trainer:
                         alive=aux.instances.alive, num_alive=aux.instances.num_alive
                     )
                     out["instances"] = jax.vmap(
-                        functools.partial(ctrl.count_refine_candidates, cfg=cc, **kw)
+                        functools.partial(ctrl.count_refine_candidates, cfg=inst_cc, **kw)
                     )(params.instances.node, iaux, state.densify["instances"])
                 if params.deformables is not None:
                     daux = NodeAux(
@@ -482,7 +511,7 @@ class Trainer:
                         num_alive=aux.deformables.num_alive,
                     )
                     out["deformables"] = jax.vmap(
-                        functools.partial(ctrl.count_refine_candidates, cfg=cc, **kw)
+                        functools.partial(ctrl.count_refine_candidates, cfg=def_cc, **kw)
                     )(params.deformables.node, daux, state.densify["deformables"])
                 return out
 
@@ -543,6 +572,9 @@ class Trainer:
         key = (flags, out_caps)
         if key not in self._refine_fns:
             cc = self.cfg.control
+            sky_cc = self.cfg.node_control("skybox")
+            inst_cc = self.cfg.node_control("instances")
+            def_cc = self.cfg.node_control("deformables")
             bg_cap, sky_cap, inst_cap, def_cap = out_caps or (None,) * 4
 
             @functools.partial(jax.jit, donate_argnums=(0,))
@@ -574,9 +606,6 @@ class Trainer:
                 info["n_cull"] = out.n_cull
 
                 if params.skybox is not None:
-                    sky_cc = dataclasses.replace(
-                        cc, far_dist=1e8, far_scale_factor=1.0
-                    )
                     outs = ctrl.refine_node(
                         k2, params.skybox, aux.skybox, mu.skybox, nu.skybox,
                         densify["skybox"], sky_cc, state.step,
@@ -599,7 +628,7 @@ class Trainer:
                     vref = jax.vmap(
                         functools.partial(
                             ctrl.refine_node,
-                            cfg=cc,
+                            cfg=inst_cc,
                             step=state.step,
                             do_densify=do_densify,
                             do_cull_big=do_cull_big,
@@ -640,7 +669,7 @@ class Trainer:
                     vref = jax.vmap(
                         functools.partial(
                             ctrl.refine_node,
-                            cfg=cc,
+                            cfg=def_cc,
                             step=state.step,
                             do_densify=do_densify,
                             do_cull_big=do_cull_big,

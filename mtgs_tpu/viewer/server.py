@@ -46,8 +46,15 @@ select,input { background:#222; color:#ddd; border:1px solid #555; }
 </style></head><body>
 <div id="hud">
  travel <select id="travel"></select>
+ output <select id="output">
+  <option>rgb</option><option>depth</option>
+  <option>accumulation</option><option>normal</option>
+ </select>
  time <input id="time" type="range" min="0" max="1" step="0.01" value="0" style="width:140px">
  <span id="fps"></span><br>
+ frustums <select id="frustums">
+  <option>off</option><option>train</option><option>eval</option><option>all</option>
+ </select>
  drag: orbit | wheel: dolly | WASD+QE: fly | shift: fast<br>
  <b>path</b>
  <button id="addkf">+ keyframe</button>
@@ -57,6 +64,10 @@ select,input { background:#222; color:#ddd; border:1px solid #555; }
  fps <input id="pathfps" type="number" value="30" min="1" style="width:44px">
  fov <input id="fov" type="number" min="10" max="120" style="width:44px">
  <button id="exportkf">export json</button>
+ <b>export</b>
+ <a href="export?format=ply">ply</a>
+ <a href="export?format=splat">splat</a>
+ <a href="export?format=pcd">pcd</a>
 </div>
 <canvas id="cv"></canvas>
 <script>
@@ -73,6 +84,8 @@ async function init() {
     o.value = t; o.textContent = t; sel.appendChild(o); }
   sel.onchange = () => dirty = true;
   document.getElementById('time').oninput = () => dirty = true;
+  document.getElementById('output').onchange = () => dirty = true;
+  document.getElementById('frustums').onchange = () => dirty = true;
   loop();
 }
 function viewParams() {
@@ -80,9 +93,58 @@ function viewParams() {
     px: cam.pos[0], py: cam.pos[1], pz: cam.pos[2],
     yaw: cam.yaw, pitch: cam.pitch,
     travel: document.getElementById('travel').value,
+    output: document.getElementById('output').value,
     t: document.getElementById('time').value,
     lowres: moving > 0 ? 1 : 0,
   });
+}
+// ---- camera frustum overlays (ref viewer.py:57-540: train/eval image
+// frusta, capped at 500) ------------------------------------------------
+function drawFrustums() {
+  const which = document.getElementById('frustums').value;
+  if (which == 'off' || !meta.cameras) return;
+  const cy = Math.cos(cam.yaw), sy = Math.sin(cam.yaw);
+  const cp = Math.cos(cam.pitch), sp = Math.sin(cam.pitch);
+  const fwd = [-cp*cy, -cp*sy, -sp];
+  const right = [-sy, cy, 0];
+  const up = [ right[1]*fwd[2]-right[2]*fwd[1],
+               right[2]*fwd[0]-right[0]*fwd[2],
+               right[0]*fwd[1]-right[1]*fwd[0] ];
+  const fl = 0.8 * W;
+  const proj = p => {   // world -> canvas px, null if behind
+    const d = [p[0]-cam.pos[0], p[1]-cam.pos[1], p[2]-cam.pos[2]];
+    const x = d[0]*right[0]+d[1]*right[1]+d[2]*right[2];
+    const y = d[0]*up[0]+d[1]*up[1]+d[2]*up[2];
+    const z = d[0]*fwd[0]+d[1]*fwd[1]+d[2]*fwd[2];
+    if (z < 0.05) return null;
+    return [W/2 + fl*x/z, H/2 - fl*y/z];
+  };
+  for (const c of meta.cameras) {
+    if (which != 'all' && c.split != which) continue;
+    ctx2.strokeStyle = c.split == 'train' ? '#33ddff88' : '#ffaa3388';
+    ctx2.lineWidth = 1;
+    // frustum: apex + 4 image-plane corners at depth s
+    const s = 0.6, a = c.c2w;  // row-major 3x4
+    const o = [a[3], a[7], a[11]];
+    const ax = [a[0], a[4], a[8]], ay = [a[1], a[5], a[9]], az = [a[2], a[6], a[10]];
+    const corners = [];
+    for (const [u, v] of [[-1,-1],[1,-1],[1,1],[-1,1]]) {
+      // scene-frame camera looks along -z; half-angles from aspect
+      corners.push([
+        o[0] + s*(u*0.5*ax[0] + v*0.3*ay[0] - az[0]),
+        o[1] + s*(u*0.5*ax[1] + v*0.3*ay[1] - az[1]),
+        o[2] + s*(u*0.5*ax[2] + v*0.3*ay[2] - az[2])]);
+    }
+    const po = proj(o), pc = corners.map(proj);
+    if (!po || pc.some(p => !p)) continue;
+    ctx2.beginPath();
+    for (let i = 0; i < 4; i++) {
+      ctx2.moveTo(po[0], po[1]); ctx2.lineTo(pc[i][0], pc[i][1]);
+      ctx2.moveTo(pc[i][0], pc[i][1]);
+      ctx2.lineTo(pc[(i+1)%4][0], pc[(i+1)%4][1]);
+    }
+    ctx2.stroke();
+  }
 }
 async function loop() {
   while (true) {
@@ -94,6 +156,7 @@ async function loop() {
         const blob = await r.blob();
         const img = await createImageBitmap(blob);
         ctx2.drawImage(img, 0, 0, W, H);
+        drawFrustums();
         document.getElementById('fps').textContent =
           (1000/(performance.now()-t0)).toFixed(1) + ' fps';
       } catch (e) {}
@@ -204,7 +267,12 @@ class ViewerServer:
     """Render server over a trained (params, aux) scene."""
 
     def __init__(self, params, aux, cfg, *, travels=None, init_pos=(0.0, 0.0, 2.0),
-                 frame_of_travel: Optional[Dict[int, int]] = None):
+                 frame_of_travel: Optional[Dict[int, int]] = None,
+                 cameras: Optional[list] = None):
+        """`cameras`: optional list of dataset camera dicts
+        {c2w: 3x4 row-major list, split: 'train'|'eval'} rendered as
+        frustum overlays (the reference viewer shows up to 500 image
+        frusta with a train/eval toggle, `viewer.py:57-540`)."""
         from mtgs_tpu.train.trainer import Batch, render_view
 
         self.params = params
@@ -213,6 +281,7 @@ class ViewerServer:
         self.travels = travels if travels is not None else [0]
         self.frame_of_travel = frame_of_travel or {}
         self.init_pos = list(init_pos)
+        self.cameras = (cameras or [])[:500]
         self._lock = threading.Lock()
         self._render_fns = {}
         self._Batch = Batch
@@ -234,10 +303,34 @@ class ViewerServer:
                 out = self._render_view(
                     params, aux, interp, batch, jnp.asarray(10**9), training=False
                 )
-                return out["rgb_appearance"]
+                return dict(
+                    rgb=out["rgb_appearance"],
+                    depth=out["depth"],
+                    accumulation=out["accumulation"],
+                    normal=out.get("normal", out["rgb_appearance"]),
+                )
 
             self._render_fns[key] = jax.jit(fn)
         return self._render_fns[key]
+
+    @staticmethod
+    def _colorize(out: Dict[str, jnp.ndarray], kind: str) -> np.ndarray:
+        """Output-type selection + colormapping (the reference viewer's
+        output dropdown over the model's outputs dict)."""
+        if kind == "depth":
+            d = np.asarray(out["depth"])[..., 0]
+            a = np.asarray(out["accumulation"])[..., 0]
+            lo, hi = np.percentile(d[a > 0.5], [2, 98]) if (a > 0.5).any() else (0, 1)
+            t = np.clip((d - lo) / max(hi - lo, 1e-6), 0, 1)
+            # simple turbo-ish ramp (blue -> green -> red)
+            rgb = np.stack([t, 1.0 - np.abs(2 * t - 1.0), 1.0 - t], axis=-1)
+            return np.clip(rgb, 0, 1)
+        if kind == "accumulation":
+            a = np.asarray(out["accumulation"])
+            return np.repeat(np.clip(a, 0, 1), 3, axis=-1)
+        if kind == "normal":
+            return np.clip(np.asarray(out["normal"])[..., :3], 0, 1)
+        return np.clip(np.asarray(out["rgb"]), 0, 1)
 
     def render(self, q: Dict[str, str]) -> bytes:
         from PIL import Image
@@ -282,11 +375,31 @@ class ViewerServer:
             pseudo_depth=jnp.zeros((H, W, 1), jnp.float32),
         )
         with self._lock:
-            rgb = self._get_fn(mode, scale)(self.params, self.aux, batch)
-        arr = np.asarray(jnp.clip(rgb, 0, 1) * 255).astype(np.uint8)
+            out = self._get_fn(mode, scale)(self.params, self.aux, batch)
+        arr = (self._colorize(out, q.get("output", "rgb")) * 255).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(arr).save(buf, format="JPEG", quality=85)
         return buf.getvalue()
+
+    def export(self, fmt: str) -> tuple[bytes, str]:
+        """In-viewer export panel (ref `export_panel.py`): background node
+        -> ply / splat / point-cloud bytes."""
+        import tempfile
+        from pathlib import Path as _Path
+
+        from mtgs_tpu.tools.export import (
+            export_ply, export_point_cloud, export_splat)
+
+        fns = {"ply": (export_ply, "scene.ply"),
+               "splat": (export_splat, "scene.splat"),
+               "pcd": (export_point_cloud, "points.ply")}
+        if fmt not in fns:
+            raise ValueError(f"unknown export format {fmt}")
+        fn, name = fns[fmt]
+        with tempfile.TemporaryDirectory() as td:
+            p = fn(self.params.background, self.aux.background,
+                   _Path(td) / name)
+            return p.read_bytes(), name
 
     def serve(self, port: int = 7007, host: str = "0.0.0.0"):
         viewer = self
@@ -306,11 +419,22 @@ class ViewerServer:
                         body = json.dumps({
                             "travels": [int(t) for t in viewer.travels],
                             "init_cam": {"pos": viewer.init_pos, "yaw": 0.0, "pitch": 0.0},
+                            "cameras": viewer.cameras,
                         }).encode()
                         ctype = "application/json"
                     elif url.path == "/render":
                         body = viewer.render(q)
                         ctype = "image/jpeg"
+                    elif url.path == "/export":
+                        body, name = viewer.export(q.get("format", "ply"))
+                        self.send_response(200)
+                        self.send_header("Content-Type", "application/octet-stream")
+                        self.send_header(
+                            "Content-Disposition", f'attachment; filename="{name}"')
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
                     else:
                         self.send_response(404)
                         self.end_headers()
@@ -356,11 +480,21 @@ def main():
     center = np.zeros(3)
     if scene.seed_xyz is not None and len(scene.seed_xyz):
         center = np.median(np.asarray(scene.seed_xyz), axis=0)
+    # dataset camera frusta (train/eval colored, capped at 500)
+    train_ids = set(scene.train_travel_ids)
+    cameras = [
+        {
+            "c2w": np.asarray(r.c2w, np.float32)[:3].reshape(-1).tolist(),
+            "split": "train" if r.travel_id in train_ids else "eval",
+        }
+        for r in scene.records
+    ]
     ViewerServer(
         params, aux, cfg,
         travels=sorted({int(r.travel_index) for r in scene.records}),
         init_pos=(float(center[0]), float(center[1]), float(center[2]) + 2.0),
         frame_of_travel=frame_of_travel,
+        cameras=cameras,
     ).serve(port=args.port)
 
 

@@ -16,6 +16,7 @@
 # recorded in status.tsv).
 set -u
 cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}"
 
 STAMP=$(date +%Y%m%d_%H%M%S)
 OUT="results/onchip/$STAMP"
@@ -59,7 +60,7 @@ printf 'probe\t0\n' >> "$STATUS"
 run_step microbench      1800 -- python -m mtgs_tpu.tools.microbench_ops
 run_step validate_fused  1800 -- python -m mtgs_tpu.tools.validate_fused
 run_step profile_classic 1800 -- python -m mtgs_tpu.tools.profile_raster --iters 10
-run_step profile_fused   1800 -- python -m mtgs_tpu.tools.profile_raster --iters 10 --fused
+run_step profile_fused   1800 -- python -m mtgs_tpu.tools.profile_raster --iters 10 --fused --trace /tmp/mtgs_trace
 run_step bench_fused         1800 -- python bench.py
 run_step bench_classic       1800 MTGS_FUSED=0 -- python bench.py
 

@@ -143,3 +143,82 @@ def test_rotating_checkpoint_retention(tmp_path):
                                  keep_optimizer=False)
     left = sorted(p.name for p in tmp_path.glob("step-*"))
     assert left == ["step-000000300"]
+
+
+def test_scene_from_torch_checkpoint_end_to_end(tmp_path):
+    """Full reference-schema checkpoint (background multicolor + skybox +
+    two rigid instances, one with Fourier dc) -> SceneParams -> RENDER:
+    the import half of the released-checkpoint parity gate."""
+    torch = pytest.importorskip("torch")
+    from mtgs_tpu.train.checkpoint import scene_from_torch_checkpoint
+    from mtgs_tpu.train.trainer import Batch, TrainerConfig, render_view
+
+    rng = np.random.default_rng(1)
+    T, K = 2, 16
+
+    def gp(prefix, n, *, multicolor=False, fourier=0):
+        d = {
+            f"{prefix}.means": rng.normal(0, 3, (n, 3)),
+            f"{prefix}.scales": rng.normal(-2.0, 0.3, (n, 3)),
+            f"{prefix}.quats": rng.normal(size=(n, 4)),
+            f"{prefix}.features_dc": (
+                rng.normal(0, 0.3, (n, fourier, 3)) if fourier
+                else rng.normal(0, 0.3, (n, 3))),
+            f"{prefix}.features_rest": rng.normal(0, 0.01, (n, K - 1, 3)),
+            f"{prefix}.opacities": rng.normal(2.0, 0.5, (n, 1)),
+        }
+        if multicolor:
+            d[f"{prefix}.features_adapters"] = rng.normal(0, 0.1, (n, T, 3))
+        return d
+
+    state = {}
+    state.update(gp("_model.gaussian_models.background.gauss_params", 500,
+                    multicolor=True))
+    state.update(gp("_model.gaussian_models.skybox.gauss_params", 200,
+                    multicolor=True))
+    state.update(gp("_model.gaussian_models.vehicle-a.gauss_params", 60))
+    state.update(gp("_model.gaussian_models.vehicle-b.gauss_params", 40,
+                    fourier=4))
+    F = 3
+    for name in ("vehicle-a", "vehicle-b"):
+        q = rng.normal(size=(F, 4))
+        t = rng.normal(0, 2, (F, 3))
+        if name == "vehicle-b":
+            t[2, 2] = 1e5  # parked off-frame
+        state[f"_model.gaussian_models.{name}.instance_quats"] = q
+        state[f"_model.gaussian_models.{name}.instance_trans"] = t
+    state["_model.appearance_model.exposure_params"] = np.tile(
+        np.eye(3, 4, dtype=np.float32), (8, 1, 1))
+    state["_model.camera_optimizer.pose_adjustment"] = np.zeros((6, 6))
+    state = {k: torch.tensor(np.asarray(v, np.float32)) for k, v in state.items()}
+
+    path = tmp_path / "step-000030000.ckpt"
+    torch.save({"pipeline": state, "step": 30000}, path)
+
+    params, aux, step = scene_from_torch_checkpoint(path)
+    assert step == 30000
+    assert params.background.multicolor
+    assert params.skybox is not None
+    assert params.instances.node.means.shape[0] == 2
+    assert params.instances.node.fourier  # lifted to common F_dim
+    np.testing.assert_allclose(np.asarray(aux.instances.present[1, 2]), 0.0)
+    np.testing.assert_allclose(np.asarray(aux.instances.present[0]), 1.0)
+
+    # render a frame through the standard path
+    H = W = 64
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 10.0  # pull back so the cloud is in front (camera looks -z)
+    batch = Batch(
+        image=jnp.zeros((H, W, 3)), mask=jnp.ones((H, W, 1)),
+        c2w=jnp.asarray(c2w),
+        K=jnp.asarray([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1.0]]),
+        cam_idx=jnp.asarray(0), image_idx=jnp.asarray(0),
+        travel_index=jnp.asarray(0), frame_idx=jnp.asarray(0),
+        timestamp=jnp.asarray(0.2),
+    )
+    cfg = TrainerConfig(width=W, height=H, max_intersections=1 << 14,
+                        backend="xla", predict_normals=False)
+    out = render_view(params, aux, cfg, batch, jnp.asarray(30000),
+                      training=False)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+    assert float(out["accumulation"].max()) > 0.1

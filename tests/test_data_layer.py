@@ -271,3 +271,34 @@ def test_eval_tokens_split(mini_block, monkeypatch):
     ev = parse_scene(mini_block, cameras=("CAM_F0",), split="val",
                      load_points=False, eval_tokens=keep)
     assert {r.frame_token for r in ev.records} == keep
+
+
+def test_panoptic_map_decode(tmp_path):
+    """Panoptic maps (ref custom_dataset.py:203-232): instance id =
+    ch0 + 256*ch1, semantic = ch2; invalid region -> (0, 255)."""
+    from PIL import Image
+    from mtgs_tpu.data.dataset import load_panoptic_map
+
+    h = w = 16
+    pan = np.zeros((h, w, 3), np.uint8)
+    pan[..., 0] = 7          # instance low byte
+    pan[..., 1] = 2          # instance high byte -> id 7 + 512 = 519
+    pan[..., 2] = 11         # semantic class
+    p = tmp_path / "pan.png"
+    Image.fromarray(pan).save(p)
+
+    K = np.array([[20.0, 0, 8], [0, 20.0, 8], [0, 0, 1]])
+    dist = np.zeros(5)
+    valid = np.ones((h, w), bool)
+    valid[:4] = False
+    inst, sem = load_panoptic_map(str(p), K, dist, "keep_focal_length",
+                                  valid_mask=valid)
+    assert inst.shape == (h, w, 1) and sem.shape == (h, w, 1)
+    assert (inst[4:] == 519).all() and (sem[4:] == 11).all()
+    assert (inst[:4] == 0).all() and (sem[:4] == 255).all()
+
+    # .npy path
+    p2 = tmp_path / "pan.npy"
+    np.save(p2, pan)
+    inst2, _ = load_panoptic_map(str(p2), K, dist, "keep_focal_length")
+    assert (inst2 == 519).all()

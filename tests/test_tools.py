@@ -166,3 +166,38 @@ def test_bench_train_smoke(capsys):
     out = capsys.readouterr().out.strip().splitlines()
     rec = json.loads(out[-1])
     assert rec["unit"] == "iters/s" and rec["value"] > 0
+
+
+def test_viewer_outputs_frustums_export():
+    """Viewer parity additions (ref custom_viewer: viewer.py:57-540 +
+    export_panel.py): output-type selector, camera frustum overlays w/
+    train/eval toggle, in-viewer splat/ply/pcd export."""
+    from mtgs_tpu.data.synthetic import build_scene_model, make_synthetic_scene
+    from mtgs_tpu.train.trainer import TrainerConfig
+    from mtgs_tpu.viewer.server import _PAGE, ViewerServer
+
+    for token in ("output", "frustums", "drawFrustums", "export?format=ply",
+                  "export?format=splat"):
+        assert token in _PAGE, token
+
+    scene = make_synthetic_scene(seed=0, width=32, height=32, n_travels=1,
+                                 n_frames=1, n_bg=100, n_instance=0)
+    params, aux = build_scene_model(scene, with_instances=False)
+    cfg = TrainerConfig(width=32, height=32, max_intersections=1 << 12,
+                        backend="xla", predict_normals=True)
+    cams = [{"c2w": scene.c2ws[0, 0][:3].reshape(-1).tolist(), "split": "train"}]
+    srv = ViewerServer(params, aux, cfg, travels=[0], cameras=cams)
+    assert srv.cameras == cams
+
+    # every output mode renders a JPEG
+    for out in ("rgb", "depth", "accumulation", "normal"):
+        jpg = srv.render({"px": "0", "py": "0", "pz": "2", "output": out})
+        assert jpg[:2] == b"\xff\xd8", out  # JPEG magic
+
+    # export endpoint produces the three formats
+    ply, name = srv.export("ply")
+    assert name.endswith(".ply") and ply.startswith(b"ply")
+    splat, _ = srv.export("splat")
+    assert len(splat) > 0
+    pcd, _ = srv.export("pcd")
+    assert pcd.startswith(b"ply")

@@ -364,3 +364,20 @@ def test_deformable_training_and_refine():
     assert np.isfinite(losses).all()
     n1 = int(trainer.aux.deformables.num_alive.sum())
     assert n1 != n0  # refine actually touched the deformable population
+
+
+def test_per_node_control_cascade():
+    """Per-node control override cascade (ref `_update_gaussian_cfg`,
+    mtgs_scene_graph.py:194-205): None inherits the global control; the
+    skybox default drops the far-cull exemption."""
+    cfg = TrainerConfig(width=32, height=32)
+    assert cfg.node_control("background") is cfg.control
+    sky = cfg.node_control("skybox")
+    assert sky.far_dist == 1e8 and sky.far_scale_factor == 1.0
+    assert sky.densify_grad_thresh == cfg.control.densify_grad_thresh
+
+    override = ctrl.ControlConfig(densify_grad_thresh=123.0)
+    cfg2 = cfg.replace(skybox_control=override, instances_control=override)
+    assert cfg2.node_control("skybox") is override
+    assert cfg2.node_control("instances") is override
+    assert cfg2.node_control("deformables") is cfg2.control
