@@ -35,16 +35,19 @@ from mtgs_tpu.train.trainer import (
 
 
 def make_dp_train_step(
-    cfg: TrainerConfig, aux: SceneAux, optimizer, mesh: Mesh, axis: str = "data"
+    cfg: TrainerConfig, optimizer, mesh: Mesh, axis: str = "data"
 ):
     """Build a jitted data-parallel train step.
 
     The batch must carry a leading device axis of size mesh.shape[axis]
-    (one camera view per device). Returns step_fn(state, batch) with
-    state replicated and batch sharded over `axis`.
+    (one camera view per device). Returns step_fn(state, aux, batch) —
+    the same signature as the single-device step, so `DPTrainer` reuses
+    the Trainer host loop (refinement, capacity growth, opacity resets,
+    resolution ladder) unchanged; state and aux are replicated, the
+    batch shards over `axis`.
     """
 
-    def per_device_step(state: TrainState, batch: Batch):
+    def per_device_step(state: TrainState, aux: SceneAux, batch: Batch):
         # batch arrives with the sharded leading axis of size 1 — squeeze.
         batch = jax.tree.map(lambda x: x[0], batch)
         total, losses, out, sink_grad, grads = loss_and_grads(
@@ -85,6 +88,16 @@ def make_dp_train_step(
         metrics = dict(losses)
         metrics["total_loss"] = total
         metrics["n_intersections"] = jax.lax.pmax(out["n_intersections"], axis)
+        from mtgs_tpu.train import losses as loss_lib
+
+        mse = loss_lib.masked_mean(
+            (batch.image - out["rgb_appearance"]) ** 2, batch.mask)
+        metrics["psnr"] = jax.lax.pmean(
+            -10.0 * jnp.log10(jnp.maximum(mse, 1e-10)), axis)
+        metrics["gaussian_count"] = sum(
+            jnp.sum(a_.alive) for a_ in [aux.background, aux.skybox]
+            if a_ is not None
+        ) + (jnp.sum(aux.instances.alive) if aux.instances is not None else 0.0)
 
         new_state = TrainState(
             params=params,
@@ -98,7 +111,7 @@ def make_dp_train_step(
     sharded = jax.shard_map(
         per_device_step,
         mesh=mesh,
-        in_specs=(P(), P(axis)),
+        in_specs=(P(), P(), P(axis)),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -109,3 +122,27 @@ def shard_batch(batch_stack: Batch, mesh: Mesh, axis: str = "data") -> Batch:
     """Place a leading-axis-stacked Batch onto the mesh's data axis."""
     spec = NamedSharding(mesh, P(axis))
     return jax.tree.map(lambda x: jax.device_put(x, spec), batch_stack)
+
+
+class DPTrainer:
+    """Data-parallel Trainer: the full host control loop — refinement,
+    HOST-SIDE CAPACITY GROWTH, opacity resets, intersection-buffer
+    growth — with the jitted step sharded one-camera-per-device over a
+    mesh. Inherits the loop by composition over `Trainer` internals: the
+    state/refine/count machinery operates on replicated trees, so only
+    the step function differs.
+
+    `data` must yield Batch pytrees with a leading device axis of size
+    mesh.shape[axis]; they are placed onto the mesh automatically.
+    """
+
+    def __new__(cls, cfg, params, aux, data, mesh: Mesh, axis: str = "data",
+                **kw):
+        from mtgs_tpu.train import trainer as trainer_lib
+
+        placed = (shard_batch(b, mesh, axis) for b in data) if data is not None else None
+        t = trainer_lib.Trainer(cfg, params, aux, placed, **kw)
+        t._make_step = lambda c: make_dp_train_step(c, t.optimizer, mesh, axis)
+        t._step_fn = t._make_step(cfg)
+        t.mesh = mesh
+        return t

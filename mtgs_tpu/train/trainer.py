@@ -463,7 +463,8 @@ class Trainer:
             step=jnp.zeros((), jnp.int32),
             key=jax.random.key(seed),
         )
-        self._step_fn = make_train_step(cfg, self.optimizer)
+        self._make_step = lambda c: make_train_step(c, self.optimizer)
+        self._step_fn = self._make_step(cfg)
         self._refine_fns: Dict[Any, Any] = {}
         self.growth_events: list = []
         self.refine_overflow: int = 0
@@ -774,7 +775,7 @@ class Trainer:
         isect = max(int(base.max_intersections * scale * scale), 1 << 14)
         isect = ((isect + 511) // 512) * 512  # keep the Pallas expand gate
         self.cfg = base.replace(width=w, height=h, max_intersections=isect)
-        self._step_fn = make_train_step(self.cfg, self.optimizer)
+        self._step_fn = self._make_step(self.cfg)
         self._refine_fns = {}
         self._cur_scale = scale
 
@@ -853,7 +854,7 @@ class Trainer:
                                 * self.cfg.isect_grow_factor
                             )
                         )
-                        self._step_fn = make_train_step(self.cfg, self.optimizer)
+                        self._step_fn = self._make_step(self.cfg)
                 reset_interval = cc.reset_alpha_every * cc.refine_every
                 if sref < cc.stop_split_at and sref % reset_interval == cc.refine_every:
                     self.state = self._reset_fn(self.state)

@@ -56,8 +56,8 @@ def test_dp_step_matches_mean_of_grads(setup):
                        densify=densify, step=jnp.zeros((), jnp.int32),
                        key=jax.random.key(0))
 
-    dp_step = make_dp_train_step(cfg, aux, optimizer, mesh)
-    new_state, metrics = dp_step(state, sharded)
+    dp_step = make_dp_train_step(cfg, optimizer, mesh)
+    new_state, metrics = dp_step(state, aux, sharded)
 
     # single-device trainer step on the same batch
     trainer = Trainer(cfg, params, aux, iter([batch]),
@@ -92,8 +92,8 @@ def test_dp_step_distinct_views_finite(setup):
     state = TrainState(params=params, opt_state=optimizer.init(params),
                        densify=densify, step=jnp.zeros((), jnp.int32),
                        key=jax.random.key(0))
-    dp_step = make_dp_train_step(cfg, aux, optimizer, mesh)
-    new_state, metrics = dp_step(state, sharded)
+    dp_step = make_dp_train_step(cfg, optimizer, mesh)
+    new_state, metrics = dp_step(state, aux, sharded)
     assert np.isfinite(float(metrics["total_loss"]))
     assert np.isfinite(np.asarray(new_state.params.background.means)).all()
 
@@ -205,3 +205,41 @@ def test_tile_sharded_pallas_interpret_base_ref():
     g2 = jax.grad(loss_fn)(params, True)
     for u, v in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=2e-5)
+
+
+def test_dp_trainer_grows_capacity():
+    """DPTrainer: the full host loop — including capacity growth — runs
+    with the camera-sharded step (growth under DP was impossible in r1)."""
+    from mtgs_tpu.parallel.data_parallel import DPTrainer
+
+    scn = make_synthetic_scene(seed=0, width=32, height=32, n_travels=1,
+                               n_frames=2, n_bg=260, n_instance=0)
+    params, aux = build_scene_model(scn, with_instances=False)
+    cap0 = params.background.capacity
+    mesh = make_mesh([4], ("data",), devices=jax.devices()[:4])
+    cfg = TrainerConfig(
+        width=32, height=32, max_intersections=1 << 12, max_steps=100,
+        backend="xla", predict_normals=False, grow_granule=1024,
+        control=ctrl.ControlConfig(
+            densify_from_iter=1, refine_every=2, stop_split_at=100,
+            reset_alpha_every=1000, sh_degree_interval=10,
+            densify_grad_thresh=1e-9, densify_size_thresh=1e9),
+    )
+
+    def stacked_batches():
+        it = batch_iterator(scn)
+        while True:
+            yield jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *[next(it) for _ in range(4)])
+
+    trainer = DPTrainer(cfg, params, aux, stacked_batches(), mesh)
+    hist = trainer.train(12)
+    assert trainer.state.params.background.capacity > cap0
+    assert int(trainer.aux.background.num_alive) > cap0
+    assert trainer.refine_overflow == 0
+    adam_state, _ = trainer.state.opt_state
+    assert (adam_state.mu.background.means.shape
+            == trainer.state.params.background.means.shape)
+    for h in hist:
+        assert np.isfinite(float(h["total_loss"]))
+        assert np.isfinite(float(h["psnr"]))
