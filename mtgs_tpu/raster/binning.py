@@ -142,6 +142,49 @@ def window_anchors(offsets: jax.Array, max_intersections: int) -> jax.Array:
                     0, n_pad - WINA)
 
 
+def searchsorted_expand(
+    offsets: jax.Array,   # [N] int32 exclusive pair-count prefix (sorted order)
+    packed: jax.Array,    # [N] int32 span words (sorted order)
+    total: jax.Array,     # [] int32 true pair count
+    max_intersections: int,
+    *,
+    tiles_x: int,
+    num_tiles: int,
+):
+    """(tile, src) per depth-order pair slot — scatter-free, kernel-free.
+
+    The owner of slot s is the last gaussian whose offset is <= s: ONE
+    `searchsorted` over the offset prefix, then two row gathers for the
+    owner's offset and span word. All int32: exact, no f32 telescoping.
+
+    This is the PORTABLE fallback (CPU tests, any backend) and an
+    env-gated experiment (MTGS_EXPAND=searchsorted). On-chip it measured
+    SLOWER than the windowed Pallas expand at 2M slots (random row
+    gathers price per row and searchsorted lowers poorly); the r1
+    microbench that suggested otherwise timed identical queued
+    executions, which the device tunnel apparently de-duplicates —
+    chained-step timing (profile_raster) is the reliable methodology.
+
+    Dead slots (>= total) return tile == num_tiles (sorts last) and a
+    clamped src whose gradient rows are exactly zero downstream.
+    """
+    N = offsets.shape[0]
+    slot = jnp.arange(max_intersections, dtype=jnp.int32)
+    src = jnp.searchsorted(
+        offsets, slot, side="right", method="sort"
+    ).astype(jnp.int32) - 1
+    src = jnp.clip(src, 0, N - 1)
+    off_s = offsets[src]
+    pk = packed[src]
+    local = slot - off_s
+    sx = jnp.maximum(pk >> 22, 1)
+    ly = local // sx
+    lx = local - ly * sx
+    tile = (((pk >> 11) & 0x7FF) + ly) * tiles_x + ((pk & 0x7FF) + lx)
+    tile = jnp.where(slot < total, tile, num_tiles)
+    return tile, src
+
+
 def padded_capacity(max_intersections: int, num_tiles: int = 0) -> int:
     """Static capacity of the intersection buffer: max_intersections plus
     one CHUNK of spill slack (a tile's final partial chunk may read/write
@@ -210,49 +253,25 @@ def bin_gaussians(
     total = offsets[-1] + counts[-1] if N > 0 else jnp.zeros((), jnp.int32)
 
     offsets = offsets.astype(jnp.int32)
-    if (jax.default_backend() == "tpu" and I % 512 == 0
+    import os
+
+    if (os.environ.get("MTGS_EXPAND") != "searchsorted"
+            and jax.default_backend() == "tpu" and I % 512 == 0
             and I < (1 << 24) and N < (1 << 24)):
-        # Pallas windowed expand: zero scatters, zero global scans — the
-        # MXU telescopes (src, offset, span word) per 512-slot block from
-        # a consecutive offset window (see expand_pallas.py). ~6x faster
-        # than the scatter+cumsum formulation below at 1M gaussians.
+        # Pallas windowed expand: zero scatters, zero global scans (see
+        # expand_pallas.py). The searchsorted formulation below is the
+        # portable fallback (and an env-gated on-chip experiment that
+        # measured SLOWER at 2M slots: searchsorted + the per-slot value
+        # gathers price per row).
         from mtgs_tpu.raster.expand_pallas import expand_pairs
 
         tile, src = expand_pairs(
             offsets, packed, total, I, tiles_x=tiles_x, num_tiles=num_tiles
         )
     else:
-        slot = jnp.arange(I, dtype=jnp.int32)
-        # Per-pair segment id/span via ONE scatter + cumsum/cummax instead
-        # of jnp.repeat or an I-from-N random gather (the dominant cost
-        # class on TPU — gathers/scatters price per ROW, so the span word
-        # rides the indicator scatter as a second column rather than being
-        # gathered in a separate pass).
-        #   col 0: +1 indicator  -> cumsum-1 = segment index (src)
-        #   col 1: packed-word delta -> cumsum = packed[src] (telescoping;
-        #          empty gaussians' deltas collapse onto the same slot)
-        safe_off = jnp.minimum(offsets, I)  # == I drops (truncated tail)
-        pk_delta = packed - jnp.concatenate([packed[:1] * 0, packed[:-1]])
-        zeros_i = jnp.zeros((I,), jnp.int32)
-        # Two 1-column scatters: a single [I, 2] scatter picks a (2, 128)
-        # minor-dim layout that runs ~3x slower than two flat ones.
-        ind = zeros_i.at[safe_off].add(1, mode="drop")
-        sc_pk = zeros_i.at[safe_off].add(pk_delta, mode="drop")
-        src = jnp.cumsum(ind) - 1
-        pk = jnp.cumsum(sc_pk)
-        # Segment-start offsets: the scatter above writes at index
-        # offsets[g] — the VALUE equals the INDEX — so the step function
-        # is a running max of the indicator positions themselves (no
-        # second scatter needed).
-        off_s = jax.lax.cummax(jnp.where(ind > 0, slot, 0))
-        # construction guarantees local in [0, counts) for slots < total.
-        local = slot - off_s
-        sx = jnp.maximum(pk >> 22, 1)
-        lx = local % sx
-        ly = local // sx
-        tile = (((pk >> 11) & 0x7FF) + ly) * tiles_x + ((pk & 0x7FF) + lx)
-        pair_ok = slot < total
-        tile = jnp.where(pair_ok, tile, num_tiles)  # sentinel sorts last
+        tile, src = searchsorted_expand(
+            offsets, packed, total, I, tiles_x=tiles_x, num_tiles=num_tiles
+        )
 
     # ---- 3. sort by tile id, depth order in-tile ---------------------
     # Within a tile src strictly increases in expansion (depth) order, so

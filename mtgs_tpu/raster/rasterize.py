@@ -199,6 +199,9 @@ def _gather_bwd(statics, res, cot):
     g_slab_t = cot  # [W, cap] attr-major, zero on dead slots
     ct = statics.c_total
     nw = NUM_GEOM + ct
+    # gradient rows ride the by-gaussian sort as payload operands —
+    # the cheapest way to move column data through a permutation on TPU
+    # (random gathers price per row; see _gather_fused_fwd's note)
     rows = [g_slab_t[i] for i in range(nw)]
     srt = _sort_avoiding_cliff((binned.gidx, *rows), num_keys=1)
     s = srt[1:]
@@ -300,6 +303,71 @@ def _gather_fused(statics, table, packed_in, counts_in, depths, sink):
 
 
 def _gather_fused_fwd(statics, table, packed_in, counts_in, depths, sink):
+    import os
+
+    n, nw = table.shape
+    I = statics.max_intersections
+    cap = binning.padded_capacity(I)
+
+    if os.environ.get("MTGS_EXPAND") != "searchsorted":
+        return _gather_fused_fwd_pallas_expand(
+            statics, table, packed_in, counts_in, depths)
+
+    # ---- MTGS_EXPAND=searchsorted experiment (NOT the default) ----
+    # Replaces the windowed expand + payload sorts with searchsorted +
+    # full-capacity random row gathers. MEASURED 3x SLOWER on-chip
+    # (results/onchip: 210.8 ms vs 68.5 at 1M gaussians): random gathers
+    # price per ROW (~tens of ns each over 2M rows) and searchsorted
+    # lowers poorly, while multi-operand sorts move the same data at
+    # ~1 ms/operand. Kept as a measured negative result.
+    # 1. depth sort of the per-gaussian span words ONLY (4 operands).
+    depth_key = jnp.where(
+        counts_in > 0, jax.lax.stop_gradient(depths), jnp.inf
+    )
+    _, perm, packed, counts = jax.lax.sort(
+        (depth_key, jnp.arange(n, dtype=jnp.int32), packed_in, counts_in),
+        num_keys=2, is_stable=False,
+    )
+    offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    total = offsets[-1] + counts[-1]
+
+    # 2. scatter-free kernel-free expansion: owner + tile per depth slot
+    sb = slot_bits_of(I)
+    tile, src = binning.searchsorted_expand(
+        offsets, packed, total, I,
+        tiles_x=statics.tiles_x, num_tiles=statics.num_tiles,
+    )
+    key = (tile << sb) | jnp.arange(I, dtype=jnp.int32)
+
+    # 3. pair sort of (key, src) only, then ONE composed gather of the
+    # owner's attribute row in input order: idx = perm[src_sorted]
+    key_s, src_sorted = jax.lax.sort((key, src), num_keys=1, is_stable=False)
+    idx = perm[src_sorted]
+    rows = table[idx]  # [I, nw]
+    if jax.default_backend() == "tpu" and not statics.interpret:
+        from mtgs_tpu.raster.blend_pallas import rows_to_attr_major
+
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((cap - I, nw), rows.dtype)])
+        slab_t = rows_to_attr_major(rows)
+    else:
+        w_pad = _round8(nw)
+        slab_t = jnp.pad(rows, ((0, cap - I), (0, w_pad - nw))).T
+    return (slab_t, key_s, total), (key_s, src, perm, n)
+
+
+def slot_bits_of(max_intersections: int) -> int:
+    from mtgs_tpu.raster.expand_fused import slot_bits
+
+    return slot_bits(max_intersections)
+
+
+def _gather_fused_fwd_pallas_expand(statics, table, packed_in, counts_in, depths):
+    """Default fused forward: attributes ride the sorts as payload
+    operands and the windowed Pallas kernel expands pairs. At 2M slots a
+    multi-operand sort moves attribute columns ~10x cheaper than random
+    row gathers (which price per row), so payload sorts beat the
+    searchsorted+gather formulation above (measured on-chip)."""
     from mtgs_tpu.raster.expand_fused import (
         ALIGN, WINA, expand_fused, table_index_rows,
     )
@@ -309,10 +377,6 @@ def _gather_fused_fwd(statics, table, packed_in, counts_in, depths, sink):
     cap = binning.padded_capacity(I)
     n_pad = ((n + ALIGN - 1) // ALIGN) * ALIGN + WINA
 
-    # 1. ONE depth sort carrying the span words AND the attribute columns
-    # as payloads; (depth, iota) as a 2-key sort gives stable semantics
-    # without XLA's hidden stability tiebreaker operand, and the iota
-    # payload IS the depth permutation.
     depth_key = jnp.where(
         counts_in > 0, jax.lax.stop_gradient(depths), jnp.inf
     )
@@ -328,20 +392,17 @@ def _gather_fused_fwd(statics, table, packed_in, counts_in, depths, sink):
 
     pad0 = n_pad - n
     rows = [jnp.pad(r, (0, pad0)) for r in srt[4:]]
-    idx_rows, base = table_index_rows(offsets, packed, n, n_pad, I, gal)
-    rows += idx_rows
-    w_tab = _round8(nw + 6)
-    rows += [jnp.zeros((n_pad,), jnp.float32)] * (w_tab - nw - 6)
+    rows += table_index_rows(offsets, packed, n, n_pad, I)
+    w_tab = _round8(nw + 5)
+    rows += [jnp.zeros((n_pad,), jnp.float32)] * (w_tab - nw - 5)
     tab_am = jnp.stack(rows)
 
-    # 2. fused expansion: per-slot sort key + owner + exact attr columns
     key, src, attrs = expand_fused(
-        tab_am, gal, base, total, I,
+        tab_am, gal, total, I,
         nw=nw, tiles_x=statics.tiles_x, num_tiles=statics.num_tiles,
         n_gauss=n, interpret=statics.interpret,
     )
 
-    # 3. pair sort with attribute payloads (key encodes (tile, depth))
     srt2 = _sort_avoiding_cliff(
         (key, *(attrs[j] for j in range(nw))), num_keys=1
     )
@@ -363,7 +424,11 @@ def _gather_fused_bwd(statics, res, cot):
     nw = NUM_GEOM + statics.c_total
     I = statics.max_intersections
 
-    # back to depth-slot order (slot is a permutation: non-stable is exact)
+    # back to depth-slot order (slot is a permutation: non-stable is
+    # exact). Gradient rows ride as SORT PAYLOADS — at 2M elements a
+    # payload operand costs ~1 ms while a random gather of the same data
+    # prices per row (~10x more); see the searchsorted experiment note
+    # in _gather_fused_fwd.
     slot = key_s & ((1 << slot_bits(I)) - 1)
     srt3 = _sort_avoiding_cliff(
         (slot, *(g_slab_t[j, :I] for j in range(nw))),
@@ -383,7 +448,7 @@ def _gather_fused_bwd(statics, res, cot):
     sums_t = dense_segment_sum(rows, src, n, interpret=statics.interpret)
     sum_rows = [sums_t[j, :n] for j in range(nw + 2)]
 
-    # sorted-gaussian order -> input order (replaces the inv_perm gather)
+    # sorted-gaussian order -> input order (payload sort, not a gather)
     srt4 = _sort_avoiding_cliff((perm, *sum_rows), num_keys=1)
     outs = srt4[1:]
     g_table = jnp.stack(outs[:nw], axis=-1)

@@ -24,11 +24,29 @@ import numpy as np
 
 
 def timeit(name, fn, *args, iters=10):
-    f = jax.jit(fn)
-    jax.block_until_ready(f(*args))
+    """Chained timing: every iteration's FIRST operand is perturbed by a
+    value derived from the previous output, so successive executions have
+    distinct inputs and a real data dependency. (The original version
+    queued `iters` calls with IDENTICAL args — those measured ~10x too
+    fast vs in-context stage timings: identical queued executions appear
+    to be de-duplicated somewhere in the device-tunnel stack. Sorts here
+    are comparator networks, so feeding perturbed/sorted data back does
+    not change their cost.)"""
+
+    def step(first, rest):
+        out = fn(first, *rest)
+        lead = out[0] if isinstance(out, (tuple, list)) else out
+        # fold a data-dependent zero into the next first operand
+        delta = (lead.ravel()[0] * 0).astype(first.dtype) + 1
+        return out, first + delta
+
+    f = jax.jit(step)
+    out, first = f(args[0], args[1:])
+    jax.block_until_ready((out, first))
     t0 = time.perf_counter()
-    outs = [f(*args) for _ in range(iters)]   # queued; one final block
-    jax.block_until_ready(outs)               # hides per-call tunnel RTT
+    for _ in range(iters):
+        out, first = f(first, args[1:])
+    jax.block_until_ready((out, first))
     dt = (time.perf_counter() - t0) / iters * 1e3
     print(f"{name:44s} {dt:8.3f} ms")
     return dt

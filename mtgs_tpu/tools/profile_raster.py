@@ -168,13 +168,12 @@ def main(argv=None):
             n_pad = ((N + ALIGN - 1) // ALIGN) * ALIGN + WINA
             pad0 = n_pad - N
             rows = [jnp.pad(r, (0, pad0)) for r in srt[4:]]
-            idx_rows, base = table_index_rows(offsets, packed, N, n_pad, I, gal)
-            rows += idx_rows
-            w_tab = _round8(nw + 6)
-            rows += [jnp.zeros((n_pad,), jnp.float32)] * (w_tab - nw - 6)
+            rows += table_index_rows(offsets, packed, N, n_pad, I)
+            w_tab = _round8(nw + 5)
+            rows += [jnp.zeros((n_pad,), jnp.float32)] * (w_tab - nw - 5)
             tab_am = jnp.stack(rows)
             key, src, attrs = expand_fused(
-                tab_am, gal, base, total, I, nw=nw, tiles_x=cfg.tiles_x,
+                tab_am, gal, total, I, nw=nw, tiles_x=cfg.tiles_x,
                 num_tiles=num_tiles, n_gauss=N)
             return (key, src, attrs, nw)
 
@@ -205,6 +204,22 @@ def main(argv=None):
               f" | bwd ~{t4 - t3:.1f} ms")
 
     _roofline(cfg, params, viewmat, K, t3, t4)
+
+    if args.trace:
+        from mtgs_tpu.utils.observability import summarize_trace
+
+        f = jax.jit(fwdbwd)
+        jax.block_until_ready(f(params))
+        n_tr = 5
+        with jax.profiler.trace(args.trace):
+            x = params
+            for _ in range(n_tr):
+                x = f(x)
+            jax.block_until_ready(x)
+        print(f"trace written to {args.trace}; top ops (per step):")
+        for ms, cnt, name in summarize_trace(args.trace, top=25, iters=n_tr):
+            print(f"  {ms:9.3f} ms  x{cnt:<4d} {name}")
+
 
 
 def _roofline(cfg, params, viewmat, K, t_fwd_ms, t_fwdbwd_ms):
@@ -271,21 +286,6 @@ def _roofline(cfg, params, viewmat, K, t_fwd_ms, t_fwdbwd_ms):
     rays = W * H
     print(f"SoL rays/s fwd+bwd ~{rays/(sol_fwd+sol_bwd)/1e6:.1f} Mrays/s; "
           f"measured {rays/(t_fwdbwd_ms*1e-3)/1e6:.2f} Mrays/s")
-
-    if args.trace:
-        from mtgs_tpu.utils.observability import summarize_trace
-
-        f = jax.jit(fwdbwd)
-        jax.block_until_ready(f(params))
-        n_tr = 5
-        with jax.profiler.trace(args.trace):
-            x = params
-            for _ in range(n_tr):
-                x = f(x)
-            jax.block_until_ready(x)
-        print(f"trace written to {args.trace}; top ops (per step):")
-        for ms, cnt, name in summarize_trace(args.trace, top=25, iters=n_tr):
-            print(f"  {ms:9.3f} ms  x{cnt:<4d} {name}")
 
 
 if __name__ == "__main__":

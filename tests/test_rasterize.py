@@ -317,3 +317,61 @@ def test_deep_alpha_stack_pallas_interpret():
         np.testing.assert_allclose(
             np.asarray(gt) / scale, np.asarray(gr) / scale, atol=2e-3,
             err_msg=f"deep-stack pallas grad mismatch for {name}")
+
+
+def test_tight_binning_reduces_intersections_exactly():
+    """The exact alpha-support span refinement must (a) drop pairs for
+    anisotropic / low-opacity scenes and (b) leave renders and gradients
+    bit-identical (the dropped pairs fail the contrib test everywhere)."""
+    from mtgs_tpu.raster import binning
+    from mtgs_tpu.raster.projection import project_gaussians
+
+    ks = jax.random.split(jax.random.key(9), 6)
+    n = 400
+    means = jnp.concatenate([
+        jax.random.normal(ks[0], (n, 2)) * 2.0,
+        -6.0 + jax.random.uniform(ks[1], (n, 1)) * 3.0], -1)
+    quats = jax.random.normal(ks[2], (n, 4)) + 0.1
+    # strongly anisotropic scales + a low-opacity tail
+    scales = jnp.exp(jax.random.normal(ks[3], (n, 3)) * 1.2 - 2.5)
+    opac = jnp.concatenate([
+        jax.random.uniform(ks[4], (n - 100,)) * 0.9 + 0.05,
+        jnp.full((100,), 0.002)])  # below 1/255: zero support
+    colors = jax.random.uniform(ks[5], (n, 3))
+    viewmat = camera_to_gsplat_viewmat(jnp.eye(4))
+    K = jnp.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1.0]])
+
+    pr = project_gaussians(means, quats, scales, viewmat, K, W, H,
+                           antialiased=True)
+    op = opac * pr.compensations
+    live = pr.valid & (op > 0)
+    _, counts_loose = binning.tile_spans(
+        pr.means2d, pr.radii, live, width=W, height=H, tile_size=32)
+    _, counts_tight = binning.tile_spans(
+        pr.means2d, pr.radii, live, width=W, height=H, tile_size=32,
+        conics=pr.conics, op_eff=op)
+    n_loose = int(counts_loose.sum())
+    n_tight = int(counts_tight.sum())
+    assert n_tight < n_loose, (n_tight, n_loose)
+    # zero-support gaussians contribute nothing
+    assert int(counts_tight[-100:].sum()) == 0
+
+    # renders identical with and without refinement (conics=None disables)
+    c = cfg(rasterize_mode="antialiased", render_mode="RGB+ED")
+    scene = (means, quats, scales, opac, colors, viewmat, K)
+    r1, a1, i1 = rasterize(*scene, c)
+    gw = jax.random.normal(jax.random.key(3), (H, W))
+    g1 = jax.grad(lambda s: _loss_fn(s, c, gw))(scene)
+    # oracle (no binning at all) as the reference point
+    r2, a2, _ = rasterize(*scene, cfg(rasterize_mode="antialiased",
+                                      render_mode="RGB+ED",
+                                      backend="reference"))
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=5e-5,
+                               rtol=1e-4)
+    g2 = jax.grad(lambda s: _loss_fn(
+        s, cfg(rasterize_mode="antialiased", render_mode="RGB+ED",
+               backend="reference"), gw))(scene)
+    for gt_, gr_ in zip(g1, g2):
+        sc = np.maximum(np.abs(np.asarray(gr_)).max(), 1e-3)
+        np.testing.assert_allclose(np.asarray(gt_) / sc, np.asarray(gr_) / sc,
+                                   atol=2e-3)
