@@ -69,7 +69,8 @@ def _await_backend(timeout_s: float = 600.0, poll_s: float = 20.0) -> None:
 BASELINE_RAYS_PER_S = 2.0e6
 WIDTH, HEIGHT = 960, 540
 N_GAUSS = 1_000_000
-MAX_ISECT = 2 << 20  # sized to the ~1.83M actual + margin (index ops scale with capacity)
+MAX_ISECT = 7 << 18  # 1.835M: ~13% above the 1.62M actual with exact
+# alpha-support binning (sorts/expand scale with CAPACITY, not load)
 
 
 def make_scene(seed=0):
