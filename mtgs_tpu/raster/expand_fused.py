@@ -164,7 +164,7 @@ def _compute(win, g0, k, tot_ref, key_ref, src_ref, attr_ref,
 
 def fused_fits(max_intersections: int, num_tiles: int, n_gauss: int) -> bool:
     """Static gate: packed (tile << SB | slot) must fit in a positive
-    int32, and the integer telescoping needs values < 2^24."""
+    int32, and the f32 one-hot value copies need values < 2^24."""
     sb = slot_bits(max_intersections)
     return (
         max_intersections % B == 0
