@@ -68,7 +68,7 @@ run_step bench_classic_nodb  1800 MTGS_FUSED=0 MTGS_DB_DMA=0 -- python bench.py
 run_step bench_fused_nodb    1800 MTGS_DB_DMA=0 -- python bench.py
 run_step train_fused         2400 -- python -m mtgs_tpu.tools.bench_train --fused
 run_step train_classic       2400 -- python -m mtgs_tpu.tools.bench_train
-run_step grow_demo           2400 -- python -m mtgs_tpu.tools.grow_demo
+run_step grow_demo           3600 -- python -m mtgs_tpu.tools.grow_demo
 
 echo "=== batch complete ==="
 cat "$STATUS"
