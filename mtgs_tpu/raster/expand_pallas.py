@@ -40,10 +40,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# B=256: the selector/matmul area per block is WIN*B with WIN = B + 128,
-# so halving B from the original 512 cuts the kernel's MXU area ~1.9x
-# across the 2x block count.
-B = 256          # pair slots per grid step
+# B=512 (measured): this kernel's per-block cost is dominated by the
+# fixed overhead of its six BlockSpec window transfers, NOT MXU area —
+# B=256 doubled the block count and regressed the classic binning stage
+# 28 -> 57 ms on-chip (results/onchip/20260821_012844/profile_classic).
+# (expand_fused.py is the opposite: one manual wide DMA per block, MXU
+# area dominates, and B=256 helps there.)
+B = 512          # pair slots per grid step
 WIN = B + 128    # offset-window entries per block (owners <= B+1, padded)
 
 
