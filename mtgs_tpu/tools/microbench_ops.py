@@ -35,9 +35,12 @@ def timeit(name, fn, *args, iters=10):
 
     def step(first, rest):
         out = fn(first, *rest)
-        lead = out[0] if isinstance(out, (tuple, list)) else out
-        # fold a data-dependent zero into the next first operand
-        delta = (lead.ravel()[0] * 0).astype(first.dtype) + 1
+        outs = out if isinstance(out, (tuple, list)) else (out,)
+        # consume EVERY output: XLA deletes unused variadic-sort payload
+        # results entirely (a k-operand sort with unused payloads times
+        # like a 1-operand sort), so fold a data-dependent zero from each
+        # output into the next first operand
+        delta = sum((o.ravel()[0] * 0).astype(first.dtype) for o in outs) + 1
         return out, first + delta
 
     f = jax.jit(step)
