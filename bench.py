@@ -135,14 +135,23 @@ def main():
     params = (means, quats, scales, opac, colors)
 
     @jax.jit
-    def bench_step(p):
-        # Step + no-op parameter update (lr small enough to be a
-        # numerical no-op but not DCE-able) in ONE dispatch: chaining
-        # steps through the updated params serializes compute while
-        # pipelining submission, so one final block covers all steps —
-        # no per-step host round-trip over the device tunnel.
+    def bench_step(p, t):
+        # Step + no-op parameter update in ONE dispatch: chaining steps
+        # through the updated params serializes compute while pipelining
+        # submission, so one final block covers all steps — no per-step
+        # host round-trip over the device tunnel.
+        #
+        # The update must change the input BITWISE each iteration:
+        # x - 1e-30*g is a bitwise no-op in f32, and the device tunnel
+        # can replay identical (executable, args) executions under some
+        # conditions (a 0.07 ms/step reading was observed,
+        # results/onchip/20260821_012844/bench_classic_nodb.log) — so a
+        # per-step counter perturbs one element negligibly but
+        # distinctly.
         loss, grads = jax.value_and_grad(loss_fn)(p)
-        return jax.tree.map(lambda x, g: x - 1e-30 * g, p, grads)
+        newp = jax.tree.map(lambda x, g: x - 1e-30 * g, p, grads)
+        m = newp[0].at[0, 0].add(1e-5 * t)
+        return (m,) + tuple(newp[1:]), t + 1.0
 
     # report intersection load once
     _, _, info = jax.jit(lambda p: rasterize(*p, viewmat, K, cfg))(params)
@@ -154,13 +163,13 @@ def main():
               file=sys.stderr)
 
     # warmup (compile)
-    jax.block_until_ready(bench_step(params))
+    jax.block_until_ready(bench_step(params, jnp.float32(0.0)))
 
     iters = 20
     t0 = time.perf_counter()
-    p = params
+    p, t = params, jnp.float32(1.0)
     for _ in range(iters):
-        p = bench_step(p)
+        p, t = bench_step(p, t)
     jax.block_until_ready(p)
     dt = (time.perf_counter() - t0) / iters
 
