@@ -102,11 +102,17 @@ def main(argv=None):
 
     def timeit(name, fn, p):
         f = jax.jit(fn)
+        # `chain` folds outputs in at 1e-30 scale — a bitwise no-op in
+        # f32. The device tunnel can replay identical (executable, args)
+        # executions, so bump one element bitwise-distinctly per
+        # iteration (a ~0.03 ms [N,3] copy, negligible vs the stages).
+        bump = jax.jit(
+            lambda x: (x[0].at[0, 0].add(1e-4),) + tuple(x[1:]))
         jax.block_until_ready(f(p))
         t0 = time.perf_counter()
         x = p
         for _ in range(args.iters):
-            x = f(x)
+            x = bump(f(x))
         jax.block_until_ready(x)
         dt = (time.perf_counter() - t0) / args.iters * 1e3
         print(f"{name:24s} {dt:8.2f} ms")
