@@ -56,8 +56,9 @@ class SyntheticScene:
         return travel * self.n_frames + frame
 
 
-def _gt_gaussians(key, n_bg: int, extent: float):
-    ks = jax.random.split(key, 8)
+def _gt_gaussians(key, n_bg: int, extent: float, ground_scale: float = 0.4,
+                  color_noise: float = 0.0):
+    ks = jax.random.split(key, 9)
     # ground plane: flattened gaussians on z = 0 with a smooth color field
     n_ground = n_bg // 2
     gx = jax.random.uniform(ks[0], (n_ground,), minval=-extent, maxval=extent)
@@ -71,8 +72,19 @@ def _gt_gaussians(key, n_bg: int, extent: float):
         ],
         -1,
     )
+    if color_noise > 0:
+        # per-gaussian speckle: high-frequency texture the reconstruction
+        # can only resolve by densifying (the smooth palette alone trains
+        # to high PSNR at seed density, leaving no densify signal)
+        gcol = jnp.clip(
+            gcol
+            + color_noise
+            * jax.random.uniform(ks[8], (n_ground, 3), minval=-1.0, maxval=1.0),
+            0.0, 1.0,
+        )
     gscale = jnp.stack(
-        [jnp.full((n_ground,), 0.4), jnp.full((n_ground,), 0.4), jnp.full((n_ground,), 0.05)], -1
+        [jnp.full((n_ground,), ground_scale), jnp.full((n_ground,), ground_scale),
+         jnp.full((n_ground,), min(0.05, ground_scale / 4))], -1
     )
     # floaters: random blobs above the plane
     n_f = n_bg - n_ground
@@ -124,12 +136,19 @@ def make_synthetic_scene(
     extent: float = 12.0,
     backend: str = "auto",
     n_seed: int | None = None,
+    ground_scale: float = 0.4,
+    color_noise: float = 0.0,
+    gt_max_intersections: int = 1 << 17,
 ) -> SyntheticScene:
     """`n_seed` caps the seed-point subsample (default 1200 — small
-    fixtures for tests); pass n_seed=n_bg for benchmark-scale models."""
+    fixtures for tests); pass n_seed=n_bg for benchmark-scale models.
+    `ground_scale`/`color_noise` control GT texture frequency (small
+    scale + speckle drives densification in training campaigns); size
+    `gt_max_intersections` to the GT population so ground-truth renders
+    don't truncate."""
     key = jax.random.key(seed)
     kb, ki = jax.random.split(key)
-    bg = _gt_gaussians(kb, n_bg, extent)
+    bg = _gt_gaussians(kb, n_bg, extent, ground_scale, color_noise)
     ixyz, iquat, iscale, iopac, icol = _instance_gaussians(ki, n_instance)
 
     K = np.array(
@@ -137,7 +156,7 @@ def make_synthetic_scene(
         np.float32,
     )
     cfg = RasterizeConfig(
-        width=width, height=height, max_intersections=1 << 17,
+        width=width, height=height, max_intersections=gt_max_intersections,
         render_mode="RGB+ED", backend=backend,
     )
 

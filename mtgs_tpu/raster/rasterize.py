@@ -203,8 +203,8 @@ def _gather_bwd(statics, res, cot):
     # the cheapest way to move column data through a permutation on TPU
     # (random gathers price per row; see _gather_fused_fwd's note)
     rows = [g_slab_t[i] for i in range(nw)]
-    srt = _sort_avoiding_cliff((binned.gidx, *rows), num_keys=1)
-    s = srt[1:]
+    (gidx_s,), s = payload_sort((binned.gidx,), rows)
+    srt = (gidx_s, *s)
 
     if jax.default_backend() == "tpu" and not os.environ.get("MTGS_NO_SEGSUM"):
         # MXU windowed segment sum over the sorted rows (the last two
@@ -296,6 +296,58 @@ def _sort_avoiding_cliff(operands, num_keys: int):
     return jax.lax.sort(tuple(ops), num_keys=num_keys, is_stable=False)
 
 
+def payload_sort(key_ops, payload_ops, *, num_keys=None):
+    """Multi-operand `lax.sort` with f32 payload compression.
+
+    MTGS_SORT_PACK=1 packs pairs of f32 payload operands into ONE
+    complex64 operand (re/im — both arrays transported bit-for-bit, so
+    the pack is EXACT; only genuine-f32 columns are packed, never
+    bitcast ints, whose NaN patterns XLA may not preserve).
+
+    MEASURED NEUTRAL on-chip, so OFF by default: with packing enabled
+    the four fused-path sorts time identically (11.75/9.92/5.72/4.61 ms,
+    trace 2026-08-21 vs results/onchip/20260821_060110/profile_fused) —
+    XLA sort cost scales with payload BYTES, not operand count (or XLA
+    decomposes c64 into re/im pairs before sorting). Kept as the
+    measurement harness for that fact and in case a future XLA changes
+    the trade-off.
+
+    Returns (sorted_keys_tuple, sorted_payloads_list) in input order.
+    """
+    num_keys = num_keys or len(key_ops)
+    if os.environ.get("MTGS_SORT_PACK", "0") == "0":
+        srt = _sort_avoiding_cliff(
+            (*key_ops, *payload_ops), num_keys=num_keys)
+        return srt[:num_keys], list(srt[num_keys:])
+    f32_idx = [i for i, p in enumerate(payload_ops)
+               if p.dtype == jnp.float32]
+    other_idx = [i for i, p in enumerate(payload_ops)
+                 if p.dtype != jnp.float32]
+    packed = [
+        jax.lax.complex(payload_ops[f32_idx[2 * j]],
+                        payload_ops[f32_idx[2 * j + 1]])
+        for j in range(len(f32_idx) // 2)
+    ]
+    tail = [payload_ops[f32_idx[-1]]] if len(f32_idx) % 2 else []
+    srt = _sort_avoiding_cliff(
+        (*key_ops, *packed, *tail, *(payload_ops[i] for i in other_idx)),
+        num_keys=num_keys,
+    )
+    res = [None] * len(payload_ops)
+    pos = num_keys
+    for j in range(len(packed)):
+        res[f32_idx[2 * j]] = jnp.real(srt[pos])
+        res[f32_idx[2 * j + 1]] = jnp.imag(srt[pos])
+        pos += 1
+    if tail:
+        res[f32_idx[-1]] = srt[pos]
+        pos += 1
+    for i in other_idx:
+        res[i] = srt[pos]
+        pos += 1
+    return srt[:num_keys], res
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gather_fused(statics, table, packed_in, counts_in, depths, sink):
     out, _ = _gather_fused_fwd(statics, table, packed_in, counts_in, depths, sink)
@@ -380,18 +432,18 @@ def _gather_fused_fwd_pallas_expand(statics, table, packed_in, counts_in, depths
     depth_key = jnp.where(
         counts_in > 0, jax.lax.stop_gradient(depths), jnp.inf
     )
-    srt = _sort_avoiding_cliff(
-        (depth_key, jnp.arange(n, dtype=jnp.int32), packed_in, counts_in,
-         *(table[:, j] for j in range(nw))),
+    (_, perm), pls = payload_sort(
+        (depth_key, jnp.arange(n, dtype=jnp.int32)),
+        [packed_in, counts_in, *(table[:, j] for j in range(nw))],
         num_keys=2,
     )
-    perm, packed, counts = srt[1], srt[2], srt[3]
+    packed, counts = pls[0], pls[1]
     offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
     total = offsets[-1] + counts[-1]
     gal = binning.window_anchors(offsets, I)
 
     pad0 = n_pad - n
-    rows = [jnp.pad(r, (0, pad0)) for r in srt[4:]]
+    rows = [jnp.pad(r, (0, pad0)) for r in pls[2:]]
     rows += table_index_rows(offsets, packed, n, n_pad, I)
     w_tab = _round8(nw + 5)
     rows += [jnp.zeros((n_pad,), jnp.float32)] * (w_tab - nw - 5)
@@ -403,13 +455,12 @@ def _gather_fused_fwd_pallas_expand(statics, table, packed_in, counts_in, depths
         n_gauss=n, interpret=statics.interpret,
     )
 
-    srt2 = _sort_avoiding_cliff(
-        (key, *(attrs[j] for j in range(nw))), num_keys=1
+    (key_s,), attr_s = payload_sort(
+        (key,), [attrs[j] for j in range(nw)]
     )
-    key_s = srt2[0]
     w_pad = _round8(nw)
     slab_t = jnp.pad(
-        jnp.stack(list(srt2[1:]) + [jnp.zeros((I,), jnp.float32)] * (w_pad - nw)),
+        jnp.stack(attr_s + [jnp.zeros((I,), jnp.float32)] * (w_pad - nw)),
         ((0, 0), (0, cap - I)),
     )
     return (slab_t, key_s, total), (key_s, src, perm, n)
@@ -430,11 +481,9 @@ def _gather_fused_bwd(statics, res, cot):
     # prices per row (~10x more); see the searchsorted experiment note
     # in _gather_fused_fwd.
     slot = key_s & ((1 << slot_bits(I)) - 1)
-    srt3 = _sort_avoiding_cliff(
-        (slot, *(g_slab_t[j, :I] for j in range(nw))),
-        num_keys=1,
+    _, s = payload_sort(
+        (slot,), [g_slab_t[j, :I] for j in range(nw)]
     )
-    s = srt3[1:]
 
     # MXU windowed segment sum keyed by the slot-order owner ids (the
     # fused gate guarantees I % 512 == 0; interpret covers CPU tests)
@@ -449,8 +498,7 @@ def _gather_fused_bwd(statics, res, cot):
     sum_rows = [sums_t[j, :n] for j in range(nw + 2)]
 
     # sorted-gaussian order -> input order (payload sort, not a gather)
-    srt4 = _sort_avoiding_cliff((perm, *sum_rows), num_keys=1)
-    outs = srt4[1:]
+    _, outs = payload_sort((perm,), sum_rows)
     g_table = jnp.stack(outs[:nw], axis=-1)
     absgrad = jnp.stack(outs[nw: nw + 2], axis=-1)
     return (

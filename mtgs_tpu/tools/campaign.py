@@ -1,0 +1,365 @@
+"""Sustained on-chip training campaign: the full MTGS recipe end to end.
+
+VERDICT r2 item 3's acceptance run: >=10k steps at 960x540 with the real
+MTGS method config (`mtgs/config/MTGS.py` in OpenDriveLab/MTGS) on a
+road-block-scale synthetic scene — growth from ~100k seeds through the
+host growth loop, opacity resets, SH ramp, the multi-resolution ladder,
+rigid instance + skybox nodes, periodic rotating checkpoints, a genuine
+mid-run teardown+rebuild resume (fresh Trainer restored from orbax with
+grown capacities via `pad_scene_to_caps`), and a final `evaluate_scene`
+producing the reference-schema `eval_result.json` with per-traversal
+seen/unseen metrics (`run_single_road_block.py:63-94`,
+`run_base_benchmarking.py:111-183`).
+
+Dataset protocol: 3 traversals x 8 frames; traversals 0-1 train on
+frames f%4!=2 and evaluate on the held-out f%4==2 frames (seen split,
+the reference's `manual_split` interleave); traversal 2 is fully held
+out and evaluated with the "mean" multicolor fallback (unseen split,
+`multi_color_gaussian_splatting.py:103-117`).
+
+Run (on the chip):
+    python -m mtgs_tpu.tools.campaign --out results/onchip/campaign_r3
+Smoke (CPU):
+    ... --steps 300 --width 192 --height 108 --n-bg 4000 --n-seed 1500 \
+        --save-every 100 --skybox-points 1024 --n-instance 200
+
+Crash-tolerant: re-running with the same --out resumes from the latest
+rotating checkpoint (capacities restored from resume_meta.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _stages_for(steps: int):
+    """Resolution ladder (ref `custom_datamanager.py:143-152`): coarse
+    warmup, then half, then full resolution."""
+    return [(0, 0.25), (max(steps // 10, 1), 0.5), (max(3 * steps // 10, 2), 1.0)]
+
+
+def make_batch(scene, t: int, f: int, scale: float):
+    import jax.numpy as jnp
+
+    from mtgs_tpu.train.trainer import Batch
+
+    k = int(round(1.0 / scale))
+    img = scene.images[t, f]
+    dep = scene.depths[t, f]
+    H, W = img.shape[:2]
+    if k > 1:
+        # images: area mean (anti-aliased); depth: stride/nearest —
+        # averaging sparse zeros would corrupt supervision (the
+        # reference resizes per-type, custom_dataset.py:279-304)
+        img = img.reshape(H // k, k, W // k, k, 3).mean(axis=(1, 3))
+        dep = dep[::k, ::k]
+    K = scene.K.copy()
+    K[:2] *= scale
+    row = scene.frame_row(t, f)
+    return Batch(
+        image=jnp.asarray(img),
+        mask=jnp.ones(img.shape[:2] + (1,), jnp.float32),
+        c2w=jnp.asarray(scene.c2ws[t, f]),
+        K=jnp.asarray(K),
+        cam_idx=jnp.asarray(0, jnp.int32),
+        image_idx=jnp.asarray(row, jnp.int32),
+        travel_index=jnp.asarray(t, jnp.int32),
+        frame_idx=jnp.asarray(row, jnp.int32),
+        timestamp=jnp.asarray(scene.timestamps[t, f]),
+        lidar_depth=jnp.asarray(dep),
+        pseudo_depth=jnp.asarray(dep),
+    )
+
+
+def make_factory(scene, pairs, seed: int = 123):
+    cache = {}
+
+    def factory(scale):
+        if scale not in cache:
+            cache[scale] = [make_batch(scene, t, f, scale) for t, f in pairs]
+        batches = cache[scale]
+
+        def it():
+            rng = np.random.default_rng(seed)
+            while True:
+                for i in rng.permutation(len(batches)):
+                    yield batches[i]
+
+        return it()
+
+    return factory
+
+
+def node_caps(params):
+    return dict(
+        background=params.background.capacity,
+        skybox=None if params.skybox is None else params.skybox.capacity,
+        instances=None if params.instances is None
+        else int(params.instances.node.means.shape[1]),
+        deformables=None if params.deformables is None
+        else int(params.deformables.node.means.shape[1]),
+    )
+
+
+def build_trainer(args, scene, train_pairs, *, caps=None, base_max_isect=None):
+    from mtgs_tpu.configs import method_config, optimizer_table
+    from mtgs_tpu.data.synthetic import build_scene_model
+    from mtgs_tpu.train.checkpoint import pad_scene_to_caps
+    from mtgs_tpu.train.trainer import Trainer
+
+    cfg = method_config("mtgs", width=args.width, height=args.height,
+                        max_steps=args.steps)
+    cfg = cfg.replace(backend=args.backend, fused=True,
+                      max_intersections=base_max_isect or args.max_isect)
+    params, aux = build_scene_model(
+        scene, with_instances=args.n_instance > 0, with_skybox=True,
+        skybox_points=args.skybox_points,
+    )
+    if caps:
+        params, aux = pad_scene_to_caps(params, aux, caps)
+    return Trainer(
+        cfg, params, aux, None,
+        optim_config=optimizer_table(args.steps),
+        data_factory=make_factory(scene, train_pairs),
+        resolution_stages=_stages_for(args.steps),
+    )
+
+
+def save_leg(out: Path, trainer, step: int):
+    import jax.numpy as jnp  # noqa: F401
+
+    from mtgs_tpu.train.checkpoint import save_checkpoint_rotating
+
+    save_checkpoint_rotating(out, trainer.state, trainer.aux, step, keep=2)
+    (out / "resume_meta.json").write_text(json.dumps(dict(
+        step=step,
+        caps=node_caps(trainer.state.params),
+        base_max_intersections=trainer._base_cfg.max_intersections,
+        growth_events=trainer.growth_events,
+        refine_overflow=trainer.refine_overflow,
+    )))
+
+
+def try_resume(out: Path, trainer) -> int:
+    """Restore the latest rotating checkpoint into a freshly-built (and
+    capacity-padded) trainer. Returns the restored step (0 = nothing)."""
+    import jax.numpy as jnp
+
+    from mtgs_tpu.train.checkpoint import load_checkpoint
+
+    meta_p = out / "resume_meta.json"
+    if not meta_p.exists():
+        return 0
+    meta = json.loads(meta_p.read_text())
+    path = out / f"step-{meta['step']:09d}"
+    if not path.exists():
+        return 0
+    template = {
+        "params": trainer.state.params,
+        "densify": trainer.state.densify,
+        "step": trainer.state.step,
+        "aux": trainer.aux,
+        "opt_state": trainer.state.opt_state,
+    }
+    restored = load_checkpoint(path, template)
+    trainer.state = trainer.state.replace(
+        params=restored["params"], densify=restored["densify"],
+        step=jnp.asarray(restored["step"], jnp.int32),
+        opt_state=restored["opt_state"])
+    trainer.aux = restored["aux"]
+    trainer.growth_events = list(meta.get("growth_events", []))
+    trainer.refine_overflow = int(meta.get("refine_overflow", 0))
+    return int(meta["step"])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--steps", type=int, default=10001)
+    ap.add_argument("--width", type=int, default=960)
+    ap.add_argument("--height", type=int, default=540)
+    ap.add_argument("--n-bg", type=int, default=600_000)
+    ap.add_argument("--n-seed", type=int, default=100_000)
+    ap.add_argument("--n-instance", type=int, default=5000)
+    ap.add_argument("--n-travels", type=int, default=3)
+    ap.add_argument("--n-frames", type=int, default=8)
+    ap.add_argument("--skybox-points", type=int, default=100_000)
+    ap.add_argument("--max-isect", type=int, default=1 << 21)
+    ap.add_argument("--gt-max-isect", type=int, default=6 << 20)
+    ap.add_argument("--save-every", type=int, default=2000)
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--extent", type=float, default=60.0)
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore existing checkpoints in --out")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from mtgs_tpu.data.synthetic import make_synthetic_scene
+    from mtgs_tpu.eval.pipeline import evaluate_scene
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    log_f = open(out / "campaign.log", "a")
+
+    def log(msg):
+        line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+        print(line, file=sys.stderr, flush=True)
+        print(line, file=log_f, flush=True)
+
+    t0 = time.time()
+    log(f"building synthetic road block: {args.n_bg} GT gaussians, "
+        f"{args.n_travels}x{args.n_frames} views at {args.width}x{args.height}")
+    scene = make_synthetic_scene(
+        seed=0, width=args.width, height=args.height,
+        n_travels=args.n_travels, n_frames=args.n_frames,
+        n_bg=args.n_bg, n_instance=args.n_instance, extent=args.extent,
+        backend=args.backend, n_seed=args.n_seed,
+        ground_scale=0.18, color_noise=0.25,
+        gt_max_intersections=args.gt_max_isect,
+    )
+    log(f"scene built in {time.time() - t0:.0f}s")
+
+    # split: traversals 0..T-2 train on f%4!=2; last traversal fully unseen
+    seen_travels = list(range(args.n_travels - 1))
+    unseen_travels = [args.n_travels - 1]
+    train_pairs = [(t, f) for t in seen_travels for f in range(args.n_frames)
+                   if f % 4 != 2]
+    eval_pairs = [(t, f) for t in seen_travels for f in range(args.n_frames)
+                  if f % 4 == 2]
+    eval_pairs += [(t, f) for t in unseen_travels for f in range(args.n_frames)]
+    log(f"{len(train_pairs)} train views, {len(eval_pairs)} eval views "
+        f"(seen travels {seen_travels}, unseen {unseen_travels})")
+
+    caps = base_isect = None
+    if not args.fresh and (out / "resume_meta.json").exists():
+        meta = json.loads((out / "resume_meta.json").read_text())
+        caps = meta["caps"]
+        base_isect = meta["base_max_intersections"]
+    trainer = build_trainer(args, scene, train_pairs,
+                            caps=caps, base_max_isect=base_isect)
+    done = 0 if args.fresh else try_resume(out, trainer)
+    if done:
+        log(f"resumed from step {done} "
+            f"(caps={node_caps(trainer.state.params)})")
+    seed_alive = int(np.asarray(trainer.aux.background.num_alive))
+
+    def cb(step, metrics):
+        log(f"step {step:6d}  loss={metrics.get('total_loss', 0):.4f} "
+            f"psnr={metrics.get('psnr', 0):.2f} "
+            f"gaussians={int(metrics.get('gaussian_count', 0))} "
+            f"n_isect={int(metrics.get('n_intersections', 0))}")
+
+    resume_at = (args.steps // 2 // args.save_every) * args.save_every
+    resume_done = (out / "RESUME_DEMO_DONE").exists() or done > resume_at
+    legs = []
+    while done < args.steps:
+        nxt = min(((done // args.save_every) + 1) * args.save_every, args.steps)
+        t_leg = time.time()
+        n_leg = nxt - done
+        trainer.train(n_leg, log_every=100, callback=cb)
+        done = int(trainer.state.step)
+        dt = time.time() - t_leg
+        legs.append(dict(to_step=done, seconds=round(dt, 1),
+                         iters_per_s=round(n_leg / max(dt, 1e-9), 3)))
+        save_leg(out, trainer, done)
+        log(f"checkpoint at step {done} ({dt:.0f}s leg, "
+            f"alive={int(np.asarray(trainer.aux.background.num_alive))}, "
+            f"caps={node_caps(trainer.state.params)}, "
+            f"overflow={trainer.refine_overflow})")
+        if done == resume_at and not resume_done:
+            # the mid-run resume demonstration: throw the trainer away and
+            # rebuild it cold from disk (grown capacities and all)
+            log("tearing down trainer for mid-run resume demo")
+            meta = json.loads((out / "resume_meta.json").read_text())
+            del trainer
+            trainer = build_trainer(
+                args, scene, train_pairs, caps=meta["caps"],
+                base_max_isect=meta["base_max_intersections"])
+            r = try_resume(out, trainer)
+            assert r == done, (r, done)
+            (out / "RESUME_DEMO_DONE").write_text(str(done))
+            resume_done = True
+            log(f"rebuilt + resumed at step {r}")
+
+    train_wall = time.time() - t0
+    log(f"training complete: {done} steps, {train_wall:.0f}s total wall")
+
+    # final stripped checkpoint (ref custom_trainer.py: optimizer state
+    # stripped on completion)
+    from mtgs_tpu.train.checkpoint import save_checkpoint
+    save_checkpoint(out / f"final-step-{done:09d}", trainer.state,
+                    trainer.aux, keep_optimizer=False)
+
+    # full eval at final resolution
+    travel_modes = {t: "index" for t in seen_travels}
+    travel_modes.update({t: "mean" for t in unseen_travels})
+    eval_batches = [make_batch(scene, t, f, 1.0) for t, f in eval_pairs]
+    result = evaluate_scene(
+        trainer.state.params, trainer.aux, trainer.cfg, eval_batches,
+        travel_modes=travel_modes,
+        output_path=str(out / "eval_result.json"),
+    )
+    log("eval: " + json.dumps({k: round(v, 4) for k, v in result.items()
+                               if not k.startswith("trv")}))
+
+    # preview renders for visual inspection
+    try:
+        from PIL import Image
+
+        import jax.numpy as jnp
+        from mtgs_tpu.train.trainer import render_view
+
+        prev = out / "preview"
+        prev.mkdir(exist_ok=True)
+        for t, f in [eval_pairs[0], eval_pairs[-1]]:
+            b = make_batch(scene, t, f, 1.0)
+            o = render_view(trainer.state.params, trainer.aux, trainer.cfg, b,
+                            jnp.asarray(10**9, jnp.int32), training=False,
+                            travel_mode=travel_modes.get(t, "index"))
+            pair = np.concatenate(
+                [np.asarray(o["rgb_appearance"]), scene.images[t, f]], axis=1)
+            Image.fromarray((np.clip(pair, 0, 1) * 255).astype(np.uint8)).save(
+                prev / f"trv{t}_f{f}.png")
+    except Exception as e:  # preview is best-effort
+        log(f"preview failed: {e}")
+
+    alive = int(np.asarray(trainer.aux.background.num_alive))
+    seen_psnr = float(np.mean([result[f"trv{t}_psnr"] for t in seen_travels
+                               if f"trv{t}_psnr" in result]))
+    summary = dict(
+        steps=done,
+        wall_s=round(train_wall, 1),
+        seed_alive=seed_alive,
+        final_alive=alive,
+        growth_ratio=round(alive / max(seed_alive, 1), 2),
+        caps=node_caps(trainer.state.params),
+        growth_events=trainer.growth_events,
+        refine_overflow=trainer.refine_overflow,
+        max_intersections=trainer.cfg.max_intersections,
+        legs=legs,
+        resume_demo=resume_done,
+        psnr_seen=round(seen_psnr, 3),
+        psnr_overall=round(result.get("psnr", float("nan")), 3),
+        eval=result,
+    )
+    (out / "campaign_summary.json").write_text(json.dumps(summary, indent=2))
+    ok = (seen_psnr >= 27.0 and alive >= 5 * seed_alive
+          and trainer.refine_overflow == 0 and resume_done)
+    print(json.dumps(dict(
+        metric="10k-step MTGS campaign (seen-split PSNR)",
+        value=round(seen_psnr, 3), unit="dB",
+        vs_baseline=round(seen_psnr / 27.0, 3),
+        growth_ratio=summary["growth_ratio"], ok=ok,
+    )))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

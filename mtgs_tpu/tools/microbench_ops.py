@@ -86,6 +86,60 @@ def main():
                                              is_stable=False),
                key_n, *rows_n[: k - 1])
 
+    # ---- operand-count vs byte-count scaling diagnostics ----
+    # bf16 payloads: if sort cost is BYTE-scaled, 11 bf16 payloads cost
+    # ~half of 11 f32; if operand-count-scaled they cost the same.
+    rows16 = [r.astype(jnp.bfloat16) for r in rows_cap[:11]]
+    timeit("lax.sort 12-op bf16 payloads @cap",
+           lambda key, *rs: jax.lax.sort((key, *rs), num_keys=1,
+                                         is_stable=False),
+           key_cap, *rows16)
+
+    # complex64 packing: EXACT 2-f32-per-operand payload packing (re/im)
+    # — if operand-count-scaled, the fused pipeline's 11-payload sorts
+    # drop to 6 operands + cheap pack/unpack.
+    def packed_sort(key, *rs):
+        cs = [jax.lax.complex(rs[2 * i], rs[2 * i + 1]) for i in range(5)]
+        out = jax.lax.sort((key, *cs, rs[10]), num_keys=1, is_stable=False)
+        fs = []
+        for i in range(5):
+            fs += [jnp.real(out[1 + i]), jnp.imag(out[1 + i])]
+        return (out[0], *fs, out[6])
+
+    timeit("lax.sort c64-packed 11 f32 payloads @cap",
+           packed_sort, key_cap, *rows_cap[:11])
+
+    def pack_only(key, *rs):
+        cs = [jax.lax.complex(rs[2 * i], rs[2 * i + 1]) for i in range(5)]
+        fs = []
+        for c in cs:
+            fs += [jnp.real(c), jnp.imag(c)]
+        return (key, *fs)
+
+    timeit("c64 pack+unpack only (no sort) @cap",
+           pack_only, key_cap, *rows_cap[:11])
+
+    # capacity sensitivity: the bench workload measures 1.62M live pairs
+    # in a 2M buffer — how much does a tighter capacity buy per sort?
+    cap_t = (1_835_008)  # 1.75M, %512 == 0
+    timeit(f"lax.sort 12-operand @cap={cap_t}",
+           lambda key, *rs: jax.lax.sort((key, *rs), num_keys=1,
+                                         is_stable=False),
+           key_cap[:cap_t], *[r[:cap_t] for r in rows_cap[:11]])
+
+    # the sort(key,iota) + row-gather alternative to payload sorts,
+    # measured with the chained methodology (the r1 numbers for this were
+    # the untrustworthy identical-queued kind)
+    table_cap = jnp.asarray(rng.normal(size=(cap, 12)).astype(np.float32))
+    iota_cap = jnp.arange(cap, dtype=jnp.int32)
+
+    def sort_gather(key, g, t):
+        _, p = jax.lax.sort((key, g), num_keys=1, is_stable=False)
+        return t[p]
+
+    timeit("sort(key,iota) + row-gather [cap]x12",
+           sort_gather, key_cap, iota_cap, table_cap)
+
     timeit(f"row gather [cap]x{w} (table_pad[gidx])",
            lambda t, g: t[g], table, gidx)
     timeit("row gather [cap]x1 (int compose)",

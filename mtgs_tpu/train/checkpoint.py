@@ -95,6 +95,55 @@ def load_checkpoint_partial(path: str | Path, template: Dict[str, Any]) -> Dict[
     return _unpack_empty({k: out[k] for k in template}, template)
 
 
+def _pad_axis(a: jax.Array, cap: int, axis: int) -> jax.Array:
+    if a.shape[axis] == cap:
+        return a
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, cap - a.shape[axis])
+    return jnp.pad(a, pad)
+
+
+def pad_scene_to_caps(params, aux, caps: Dict[str, Optional[int]]):
+    """Re-pad node capacities of a freshly-built scene so its tree
+    SHAPES match a checkpoint whose nodes have grown since init — the
+    functional mirror of the reference's "params re-allocated to ckpt
+    shapes before load" (`vanilla_gaussian_splatting.py:355-370` in
+    OpenDriveLab/MTGS). `caps` maps node name ("background"/"skybox"/
+    "instances"/"deformables") to the target capacity (None/absent =
+    unchanged). Padded rows are zeros and dead (alive mask unchanged);
+    the subsequent `load_checkpoint` overwrites every array anyway —
+    this only fixes the template shapes."""
+    def pad_node(node, cap, axis):
+        return jax.tree.map(lambda a: _pad_axis(a, cap, axis), node)
+
+    c = caps.get("background")
+    if c is not None and c != params.background.capacity:
+        params = params.replace(background=pad_node(params.background, c, 0))
+        aux = aux.replace(
+            background=aux.background.replace(
+                alive=_pad_axis(aux.background.alive, c, 0)))
+    c = caps.get("skybox")
+    if c is not None and params.skybox is not None and c != params.skybox.capacity:
+        params = params.replace(skybox=pad_node(params.skybox, c, 0))
+        aux = aux.replace(
+            skybox=aux.skybox.replace(alive=_pad_axis(aux.skybox.alive, c, 0)))
+    c = caps.get("instances")
+    if (c is not None and params.instances is not None
+            and c != params.instances.node.means.shape[1]):
+        params = params.replace(instances=params.instances.replace(
+            node=pad_node(params.instances.node, c, 1)))
+        aux = aux.replace(instances=aux.instances.replace(
+            alive=_pad_axis(aux.instances.alive, c, 1)))
+    c = caps.get("deformables")
+    if (c is not None and params.deformables is not None
+            and c != params.deformables.node.means.shape[1]):
+        params = params.replace(deformables=params.deformables.replace(
+            node=pad_node(params.deformables.node, c, 1)))
+        aux = aux.replace(deformables=aux.deformables.replace(
+            alive=_pad_axis(aux.deformables.alive, c, 1)))
+    return params, aux
+
+
 # ------------------------------------------------------------ torch import
 
 def _pad_to(arr: np.ndarray, cap: int) -> np.ndarray:
