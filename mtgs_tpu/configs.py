@@ -84,10 +84,13 @@ def gs3d_config(width: int = 960, height: int = 540, max_steps: int = ITERS) -> 
 
 def mtgs_deformable_config(width: int = 960, height: int = 540, max_steps: int = ITERS) -> TrainerConfig:
     """MTGS + deformable pedestrian nodes (`mtgs/config/MTGS_deformable.py`:
-    adds the deform_network optimizer group; deformation gated on after
-    step 3000 — flip scene.deform_enabled at that step)."""
+    adds the deform_network optimizer group). The Trainer flips
+    `scene.deform_enabled` at `deform_enable_step` (ref
+    `deformable_node.py:221-227` use_deformgs_after) and freezes the
+    canonical xyz from then on (`:95-104`)."""
     cfg = mtgs_config(width, height, max_steps)
-    return cfg.replace(scene=cfg.scene.replace(deform_enabled=False))
+    return cfg.replace(scene=cfg.scene.replace(deform_enabled=False),
+                       deform_enable_step=DEFORM_ENABLE_STEP)
 
 
 DEFORM_ENABLE_STEP = 3000  # reference use_deformgs_after (deformable_node.py)

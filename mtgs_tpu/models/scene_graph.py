@@ -359,13 +359,20 @@ def collect_gaussians(
         d = params.deformables
         q, t, gate = _instance_pose(d.quats, d.trans, aux.deformables, view, cfg.interp_poses)
         offsets = None
+        node = d.node
         if cfg.deform_enabled:
+            # canonical xyz are FROZEN once deformation starts (ref
+            # deformable_node.py:95-104): gradients flow to the MLP
+            # offsets / embeddings, not to the canonical means (the
+            # trainer additionally zeroes their Adam update so momentum
+            # can't keep drifting them)
+            node = node.replace(means=jax.lax.stop_gradient(node.means))
             offsets = deform_lib.apply_deform(
-                d.mlp, d.node.means, d.embeddings, view.timestamp,
+                d.mlp, node.means, d.embeddings, view.timestamp,
                 xyz_bound=cfg.deform_xyz_bound,
             )
         outs.append(
-            _collect_instances(d.node, aux.deformables.alive, q, t, gate, view, offsets)
+            _collect_instances(node, aux.deformables.alive, q, t, gate, view, offsets)
         )
 
     means, quats, scales, opac, colors = (

@@ -78,10 +78,18 @@ def tile_spans(
     tile_size: int,
     conics: jax.Array = None,
     op_eff: jax.Array = None,
+    row_range=None,
 ):
     """Per-gaussian tile-span words in input order (order-independent
     math shared by both binning paths): returns (packed, counts) where
     packed = tmin_x | tmin_y << 11 | span_x << 22.
+
+    `row_range=(r0, r1)` (traced int32 scalars) clips spans to tile rows
+    [r0, r1) and packs tmin_y SHARD-LOCAL (tmin_y - r0): the per-shard
+    span computation of the tile-sharded pipeline (SURVEY §2.4 — each
+    chip expands/sorts/blends only the pairs landing in its own tile-row
+    band; the reference analog is the tile-partitioned CUDA pipeline,
+    `mtgs/scene_model/mtgs_scene_graph.py:640-662`).
 
     When `conics` ([N, 3] cxx, cxy, cyy of the blurred covariance) and
     `op_eff` ([N] post-compensation opacities) are given, the gsplat
@@ -115,6 +123,13 @@ def tile_spans(
     tmax_x = jnp.clip(jnp.ceil((means2d[:, 0] + rx) / tile_size), 0, tiles_x).astype(jnp.int32)
     tmin_y = jnp.clip(jnp.floor((means2d[:, 1] - ry) / tile_size), 0, tiles_y).astype(jnp.int32)
     tmax_y = jnp.clip(jnp.ceil((means2d[:, 1] + ry) / tile_size), 0, tiles_y).astype(jnp.int32)
+    y_base = 0
+    if row_range is not None:
+        r0, r1 = row_range
+        r1 = jnp.maximum(r0, r1)  # shards fully past tiles_y clip empty
+        tmin_y = jnp.clip(tmin_y, r0, r1)
+        tmax_y = jnp.clip(tmax_y, r0, r1)
+        y_base = r0
     # span_x capped at 255 so it bit-packs (a gaussian spanning >255 tile
     # columns would cover a >8000px-wide footprint)
     span_x = jnp.clip(tmax_x - tmin_x, 0, 255)
@@ -125,7 +140,7 @@ def tile_spans(
         # op_eff < 1/255 can never contribute anywhere — exact drop
         live = live & (op_eff >= 1.0 / 255.0)
     counts = jnp.where(live, span_x * span_y, 0).astype(jnp.int32)
-    packed = tmin_x | (tmin_y << 11) | (span_x << 22)
+    packed = tmin_x | ((tmin_y - y_base) << 11) | (span_x << 22)
     return packed, counts
 
 

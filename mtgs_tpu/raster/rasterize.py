@@ -510,6 +510,101 @@ def _gather_fused_bwd(statics, res, cot):
 _gather_fused.defvjp(_gather_fused_fwd, _gather_fused_bwd)
 
 
+def _fused_pipeline(fstat, bstat, table, packed_in, counts_in, depths, sink,
+                    tile_base):
+    """expand -> attr-payload pair sort -> per-tile ranges -> blend for
+    ONE tile range (the full image, or one shard's tile-row band)."""
+    from mtgs_tpu.raster.expand_fused import slot_bits
+
+    I = fstat.max_intersections
+    slab_t, key_s, n_isect = _gather_fused(
+        fstat, table, packed_in, counts_in, depths, sink
+    )
+    q = jnp.arange(fstat.num_tiles + 1, dtype=jnp.int32) << slot_bits(I)
+    bounds = jnp.searchsorted(key_s, q, side="left").astype(jnp.int32)
+    starts, tcounts = bounds[:-1], bounds[1:] - bounds[:-1]
+    tile_offsets = (starts // CHUNK) * CHUNK
+    tile_heads = starts - tile_offsets
+    tile_nchunks = jnp.where(
+        tcounts > 0, (tile_heads + tcounts + CHUNK - 1) // CHUNK, 0
+    ).astype(jnp.int32)
+    rgb_tiles, t_final = _blend(
+        bstat, slab_t, tile_offsets, tile_heads, tcounts, tile_nchunks,
+        tile_base,
+    )
+    return rgb_tiles, t_final, n_isect
+
+
+def _fused_shard_plan(config: RasterizeConfig, n_dev: int, n_gauss: int):
+    """Static plan for the fully-sharded fused pipeline, or None if the
+    capacity doesn't divide cleanly. Returns (rows_per_shard,
+    num_tiles_local, I_shard)."""
+    from mtgs_tpu.raster.expand_fused import fused_fits
+
+    I = config.max_intersections
+    if n_dev <= 1 or I % n_dev:
+        return None
+    I_s = I // n_dev
+    rows_per = -(-config.tiles_y // n_dev)
+    ntl = rows_per * config.tiles_x
+    if I_s % 512 or not fused_fits(I_s, ntl, n_gauss):
+        return None
+    return rows_per, ntl, I_s
+
+
+def _rasterize_fused_sharded(
+    config, mesh, shard_axis, plan, c_total,
+    means2d_sg, radii, conics, op_eff_sg, live, table, depths, sink,
+):
+    """SURVEY §2.4's tile-space sharding, whole-pipeline edition: each
+    chip computes spans for ALL gaussians clipped to its own tile-row
+    band (cheap O(N)), then depth-sorts, expands, pair-sorts, and blends
+    ONLY the pairs landing in its band — the global capacity-sized sorts
+    become per-shard I/n_dev-slot sorts and no intersection slab is ever
+    replicated (VERDICT r2 item 1; the reference analog is gsplat's
+    tile-partitioned pipeline, `mtgs_scene_graph.py:640-662`).
+
+    Differentiable end to end: the custom-VJP gather/blend run inside
+    `shard_map`, each shard's backward reduces its own slots to
+    per-gaussian partials, and the replicated-input transpose psums
+    table/sink cotangents over ICI — the gradient all-reduce.
+    """
+    from jax.sharding import PartitionSpec as _P
+
+    rows_per, ntl, I_s = plan
+    tiles_y = config.tiles_y
+    fstat = _FusedStatics(
+        c_total=c_total, max_intersections=I_s, num_tiles=ntl,
+        tiles_x=config.tiles_x, interpret=config.interpret,
+    )
+    bstat = _BlendStatics(
+        tile_size=config.tile_size, tiles_x=config.tiles_x,
+        backend="pallas", interpret=config.interpret, c_total=c_total,
+    )
+
+    def shard_fn(m2d, rad, con, op, lv, tab, dep, snk):
+        s = jax.lax.axis_index(shard_axis)
+        r0 = (s * rows_per).astype(jnp.int32)
+        packed, counts = binning.tile_spans(
+            m2d, rad, lv,
+            width=config.width, height=config.height,
+            tile_size=config.tile_size, conics=con, op_eff=op,
+            row_range=(r0, jnp.minimum(r0 + rows_per, tiles_y)),
+        )
+        base = (s * ntl).astype(jnp.int32).reshape(1)
+        rgb, tfin, n_is = _fused_pipeline(
+            fstat, bstat, tab, packed, counts, dep, snk, base
+        )
+        return rgb, tfin, n_is.reshape(1)
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(_P(),) * 8,
+        out_specs=(_P(shard_axis), _P(shard_axis), _P(shard_axis)),
+        check_vma=False,
+    )(means2d_sg, radii, conics, op_eff_sg, live, table, depths, sink)
+
+
 def rasterize(
     means: jax.Array,
     quats: jax.Array,
@@ -539,13 +634,19 @@ def rasterize(
         tap2d / absgrad_sink: optional zeros-[N, 2] gradient taps (see
             module docstring).
         mesh / shard_axis: when a `jax.sharding.Mesh` is given, the
-            per-tile blend — the hot loop in BOTH directions — runs
-            `shard_map`'d over `shard_axis` with each chip blending a
-            contiguous block of global tiles (SURVEY §2.4's tile-space
-            sharding). Fully differentiable: the intersection slab is
-            replicated, each shard's backward writes gradients only into
-            its own tiles' slot range, and the shard_map transpose psums
-            the per-gaussian slab cotangents over ICI.
+            WHOLE intersection pipeline runs `shard_map`'d over
+            `shard_axis` (SURVEY §2.4's tile-space sharding): each chip
+            computes spans clipped to its own tile-row band, then
+            depth-sorts, expands, pair-sorts and blends only that band's
+            pairs at I/n_dev capacity — no replicated slab, and the
+            capacity-sized sorts (59% of the single-chip step) scale
+            with devices. Fully differentiable: per-shard backwards
+            reduce their own slots to per-gaussian partials and the
+            shard_map transpose psums table/sink cotangents over ICI.
+            Requires the fused pallas path and max_intersections
+            divisible by n_dev*512 (else: classic path falls back to
+            blend-only sharding with a replicated slab; a fused config
+            failing the split renders unsharded).
 
     Returns:
         render: [H, W, C(+1 if depth mode)] — raw channels; ED mode's last
@@ -610,14 +711,34 @@ def rasterize(
         [means2d, proj.conics, op_eff[:, None], cols], axis=-1
     )  # [N, 6 + c_total]
 
-    from mtgs_tpu.raster.expand_fused import fused_fits, slot_bits
+    from mtgs_tpu.raster.expand_fused import fused_fits
 
     num_tiles = config.tiles_x * config.tiles_y
     use_fused = (
         config.fused and backend == "pallas"
         and fused_fits(config.max_intersections, num_tiles, N)
     )
-    if use_fused:
+    shard_plan = None
+    if use_fused and mesh is not None:
+        shard_plan = _fused_shard_plan(config, mesh.shape[shard_axis], N)
+
+    if shard_plan is not None:
+        # WHOLE-pipeline tile sharding: per-shard spans/expand/sort/blend
+        # (see _rasterize_fused_sharded). Falls through to the shared
+        # image assembly below.
+        rgb_flat, t_flat, n_parts = _rasterize_fused_sharded(
+            config, mesh, shard_axis, shard_plan, c_total,
+            jax.lax.stop_gradient(means2d), proj.radii, proj.conics,
+            jax.lax.stop_gradient(op_eff), live, table, proj.depths,
+            absgrad_sink,
+        )
+        rgb_tiles, t_final = rgb_flat[:num_tiles], t_flat[:num_tiles]
+        # truncation signal: each shard truncates independently at
+        # I/n_dev, so the binding load is the fullest shard scaled back
+        # to the global capacity (the true untruncated total is
+        # sum(n_parts); growth logic must react to the max).
+        n_isect = jnp.max(n_parts) * mesh.shape[shard_axis]
+    elif use_fused:
         packed_in, counts_in = binning.tile_spans(
             jax.lax.stop_gradient(means2d), proj.radii, live,
             width=config.width, height=config.height,
@@ -629,19 +750,16 @@ def rasterize(
             num_tiles=num_tiles, tiles_x=config.tiles_x,
             interpret=config.interpret,
         )
-        slab_t, key_s, n_isect = _gather_fused(
-            fstat, table, packed_in, counts_in, proj.depths, absgrad_sink
+        bstat = _BlendStatics(
+            tile_size=config.tile_size, tiles_x=config.tiles_x,
+            backend=backend, interpret=config.interpret, c_total=c_total,
         )
-        q = jnp.arange(num_tiles + 1, dtype=jnp.int32) << slot_bits(
-            config.max_intersections
+        # (a mesh whose capacity split fails _fused_shard_plan renders
+        # unsharded — correct, just not distributed)
+        rgb_tiles, t_final, n_isect = _fused_pipeline(
+            fstat, bstat, table, packed_in, counts_in, proj.depths,
+            absgrad_sink, jnp.zeros((1,), jnp.int32),
         )
-        bounds = jnp.searchsorted(key_s, q, side="left").astype(jnp.int32)
-        starts, tcounts = bounds[:-1], bounds[1:] - bounds[:-1]
-        tile_offsets = (starts // CHUNK) * CHUNK
-        tile_heads = starts - tile_offsets
-        tile_nchunks = jnp.where(
-            tcounts > 0, (tile_heads + tcounts + CHUNK - 1) // CHUNK, 0
-        ).astype(jnp.int32)
     else:
         binned = binning.bin_gaussians(
             means2d, proj.radii, proj.depths, live,
@@ -660,38 +778,42 @@ def rasterize(
         tcounts, tile_nchunks = binned.tile_counts, binned.tile_nchunks
         n_isect = binned.n_intersections
 
-    statics = _BlendStatics(
-        tile_size=config.tile_size, tiles_x=config.tiles_x,
-        backend=backend, interpret=config.interpret, c_total=c_total,
-    )
-    if mesh is None:
-        rgb_tiles, t_final = _blend(
-            statics, slab_t, tile_offsets, tile_heads, tcounts, tile_nchunks,
-            jnp.zeros((1,), jnp.int32),
+        statics = _BlendStatics(
+            tile_size=config.tile_size, tiles_x=config.tiles_x,
+            backend=backend, interpret=config.interpret, c_total=c_total,
         )
-    else:
-        from jax.sharding import PartitionSpec as _P
+        if mesh is None:
+            rgb_tiles, t_final = _blend(
+                statics, slab_t, tile_offsets, tile_heads, tcounts,
+                tile_nchunks, jnp.zeros((1,), jnp.int32),
+            )
+        else:
+            # classic path: blend-only tile sharding (the slab stays
+            # replicated; kept as the non-fused fallback — the fused
+            # path above shards the whole pipeline instead)
+            from jax.sharding import PartitionSpec as _P
 
-        n_dev = mesh.shape[shard_axis]
-        T = tile_offsets.shape[0]
-        T_pad = -(-T // n_dev) * n_dev
-        padT = lambda a: jnp.pad(a, (0, T_pad - T))
+            n_dev = mesh.shape[shard_axis]
+            T = tile_offsets.shape[0]
+            T_pad = -(-T // n_dev) * n_dev
+            padT = lambda a: jnp.pad(a, (0, T_pad - T))
 
-        def shard_fn(offs_l, hds_l, cnts_l, nchk_l, slab_l):
-            base = (jax.lax.axis_index(shard_axis)
-                    * offs_l.shape[0]).astype(jnp.int32).reshape(1)
-            return _blend(statics, slab_l, offs_l, hds_l, cnts_l, nchk_l, base)
+            def shard_fn(offs_l, hds_l, cnts_l, nchk_l, slab_l):
+                base = (jax.lax.axis_index(shard_axis)
+                        * offs_l.shape[0]).astype(jnp.int32).reshape(1)
+                return _blend(statics, slab_l, offs_l, hds_l, cnts_l,
+                              nchk_l, base)
 
-        rgb_tiles, t_final = jax.shard_map(
-            shard_fn,
-            mesh=mesh,
-            in_specs=(_P(shard_axis), _P(shard_axis), _P(shard_axis),
-                      _P(shard_axis), _P()),
-            out_specs=(_P(shard_axis), _P(shard_axis)),
-            check_vma=False,
-        )(padT(tile_offsets), padT(tile_heads), padT(tcounts),
-          padT(tile_nchunks), slab_t)
-        rgb_tiles, t_final = rgb_tiles[:T], t_final[:T]
+            rgb_tiles, t_final = jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(_P(shard_axis), _P(shard_axis), _P(shard_axis),
+                          _P(shard_axis), _P()),
+                out_specs=(_P(shard_axis), _P(shard_axis)),
+                check_vma=False,
+            )(padT(tile_offsets), padT(tile_heads), padT(tcounts),
+              padT(tile_nchunks), slab_t)
+            rgb_tiles, t_final = rgb_tiles[:T], t_final[:T]
 
     ts = config.tile_size
     img = rgb_tiles.reshape(config.tiles_y, config.tiles_x, c_total, ts, ts)

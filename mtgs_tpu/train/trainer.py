@@ -57,6 +57,7 @@ class TrainerConfig(struct.PyTreeNode):
     rasterize_mode: str = struct.field(pytree_node=False, default="antialiased")
     backend: str = struct.field(pytree_node=False, default="auto")
     fused: bool = struct.field(pytree_node=False, default=True)
+    interpret: bool = struct.field(pytree_node=False, default=False)
     max_steps: int = struct.field(pytree_node=False, default=30001)
     predict_normals: bool = struct.field(pytree_node=False, default=True)
     background_color: float = struct.field(pytree_node=False, default=0.0)
@@ -83,6 +84,12 @@ class TrainerConfig(struct.PyTreeNode):
     # `_update_gaussian_cfg`, mtgs_scene_graph.py:194-205). None =>
     # inherit `control`; the skybox additionally gets its far-cull
     # specialization applied on top unless overridden here.
+    # one-time deformation enable (ref deformable_node.py:221-227: the
+    # deform MLP is inert until `use_deformgs_after`, then canonical xyz
+    # freeze). None = never flip; the host loop re-jits once at this
+    # step with scene.deform_enabled=True.
+    deform_enable_step: Optional[int] = struct.field(
+        pytree_node=False, default=None)
     skybox_control: Optional[ctrl.ControlConfig] = struct.field(
         pytree_node=False, default=None)
     instances_control: Optional[ctrl.ControlConfig] = struct.field(
@@ -117,6 +124,7 @@ class TrainerConfig(struct.PyTreeNode):
             render_mode="RGB+ED",
             backend=self.backend,
             fused=self.fused,
+            interpret=self.interpret,
         )
 
 
@@ -158,6 +166,8 @@ def render_view(
     absgrad_sink: Optional[jax.Array] = None,
     travel_mode: Optional[str] = None,
     apply_cam_opt: Optional[bool] = None,
+    mesh=None,
+    mesh_axis: str = "tile",
 ) -> Dict[str, jax.Array]:
     """Full forward pass for one camera (ref `get_outputs`).
 
@@ -167,6 +177,11 @@ def render_view(
             eval/render time to reproduce the reference's
             `load_cam_optim_from` re-application of optimized poses
             (`nuplan_dataparser.py:399-411`).
+        mesh / mesh_axis: shard THIS camera's rasterization per tile-row
+            band across `mesh_axis` (the whole intersection pipeline
+            runs under shard_map — see `rasterize`'s mesh docs). Makes
+            the full loss stack trainable with one camera's tiles spread
+            over chips (SURVEY §2.4).
     """
     c2w = batch.c2w
     use_cam_opt = training if apply_cam_opt is None else apply_cam_opt
@@ -201,6 +216,7 @@ def render_view(
         g["means"], g["quats"], g["scales"], g["opacities"], colors,
         viewmat, batch.K, cfg.raster_config(),
         tap2d=tap2d, absgrad_sink=absgrad_sink,
+        mesh=mesh, shard_axis=mesh_axis,
     )
 
     bg = jnp.full((3,), cfg.background_color, render.dtype)
@@ -276,7 +292,8 @@ def _scene_losses(
 
 
 def loss_and_grads(
-    params: SceneParams, aux: SceneAux, cfg: TrainerConfig, batch: Batch, step: jax.Array
+    params: SceneParams, aux: SceneAux, cfg: TrainerConfig, batch: Batch,
+    step: jax.Array, *, mesh=None, mesh_axis: str = "tile",
 ):
     """Loss + parameter gradients + absgrad densify signal for one view.
 
@@ -287,7 +304,8 @@ def loss_and_grads(
     Pallas backward, which has no JVP rule)."""
 
     def loss_fn(p: SceneParams, sink: jax.Array):
-        out = render_view(p, aux, cfg, batch, step, absgrad_sink=sink)
+        out = render_view(p, aux, cfg, batch, step, absgrad_sink=sink,
+                          mesh=mesh, mesh_axis=mesh_axis)
         losses = loss_lib.compute_losses(
             cfg.loss,
             gt_img=batch.image,
@@ -311,17 +329,32 @@ def loss_and_grads(
     return total, losses, out, sink_grad, grads
 
 
-def make_train_step(cfg: TrainerConfig, optimizer):
+def make_train_step(cfg: TrainerConfig, optimizer, mesh=None,
+                    mesh_axis: str = "tile"):
     """Build the jitted train step. `aux` is a traced argument, so
     refinement (which rewrites alive masks) does NOT retrigger
-    compilation — only capacity growth (shape change) does."""
+    compilation — only capacity growth (shape change) does. With `mesh`,
+    the step trains ONE camera with its tiles sharded across
+    `mesh_axis` (full loss stack + densify stats; VERDICT r2 item 5)."""
 
     def step_fn(state: TrainState, aux: SceneAux, batch: Batch):
         total, losses, out, sink_grad, grads = loss_and_grads(
-            state.params, aux, cfg, batch, state.step
+            state.params, aux, cfg, batch, state.step,
+            mesh=mesh, mesh_axis=mesh_axis,
         )
 
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        if cfg.scene.deform_enabled and state.params.deformables is not None:
+            # canonical-xyz hard freeze while deformation is active (ref
+            # deformable_node.py:95-104): the render path already
+            # stop-gradients them; zero the UPDATE too, because Adam
+            # momentum would otherwise keep drifting the frozen params
+            # for ~1/(1-b1) steps after their grads go to zero
+            updates = updates.replace(
+                deformables=updates.deformables.replace(
+                    node=updates.deformables.node.replace(
+                        means=jnp.zeros_like(
+                            updates.deformables.node.means))))
         params = optax.apply_updates(state.params, updates)
 
         # densify statistics per node segment
@@ -418,16 +451,24 @@ class Trainer:
         seed: int = 0,
         data_factory=None,
         resolution_stages=None,
+        mesh=None,
+        mesh_axis: str = "tile",
     ):
         """`resolution_stages` enables the multi-resolution training
         ladder (ref `custom_datamanager.py:143-152`): a list of
         (start_step, scale) pairs; at each stage boundary the train step
         is re-jitted at scale x (width, height) and `data_factory(scale)`
         supplies a matching batch iterator (see
-        `mtgs_tpu.data.loader.staged_iterator_factory`)."""
+        `mtgs_tpu.data.loader.staged_iterator_factory`).
+
+        `mesh`/`mesh_axis` shard every step's rasterization per tile-row
+        band over the mesh axis (one camera's tiles across chips — the
+        whole expand/sort/blend pipeline, not just the blend)."""
         self.cfg = cfg
         self.aux = aux
         self.data = data
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self._base_cfg = cfg
         self._data_factory = data_factory
         self.resolution_stages = (
@@ -463,7 +504,8 @@ class Trainer:
             step=jnp.zeros((), jnp.int32),
             key=jax.random.key(seed),
         )
-        self._make_step = lambda c: make_train_step(c, self.optimizer)
+        self._make_step = lambda c: make_train_step(
+            c, self.optimizer, self.mesh, self.mesh_axis)
         self._step_fn = self._make_step(cfg)
         self._refine_fns: Dict[Any, Any] = {}
         self.growth_events: list = []
@@ -790,6 +832,20 @@ class Trainer:
         history = []
         for i in range(num_steps):
             step = int(self.state.step)
+            if (
+                self.cfg.deform_enable_step is not None
+                and not self.cfg.scene.deform_enabled
+                and step >= self.cfg.deform_enable_step
+                and self.state.params.deformables is not None
+            ):
+                # one-time re-jit with deformation active + canonical
+                # freeze (same mechanism as the resolution ladder); also
+                # fires immediately on resume past the threshold
+                scene_on = self.cfg.scene.replace(deform_enabled=True)
+                self.cfg = self.cfg.replace(scene=scene_on)
+                self._base_cfg = self._base_cfg.replace(
+                    scene=self._base_cfg.scene.replace(deform_enabled=True))
+                self._step_fn = self._make_step(self.cfg)
             if self.resolution_stages is not None:
                 scale = self.resolution_stages[0][1]
                 for start, s in self.resolution_stages:

@@ -243,3 +243,94 @@ def test_dp_trainer_grows_capacity():
     for h in hist:
         assert np.isfinite(float(h["total_loss"]))
         assert np.isfinite(float(h["psnr"]))
+
+
+def test_fused_fully_sharded_pipeline_matches_single_device():
+    """The WHOLE fused pipeline sharded per tile-row band (VERDICT r2
+    item 1): per-shard spans -> depth sort -> expand -> pair sort ->
+    blend at I/n_dev capacity under shard_map must match the unsharded
+    fused path — forward render/alpha, full parameter gradients, the
+    means2d tap, and the absgrad densify signal. 8 shards over 4 tile
+    rows also exercises empty pad bands."""
+    from mtgs_tpu.core.camera import camera_to_gsplat_viewmat
+    from mtgs_tpu.raster import RasterizeConfig, rasterize
+
+    means, quats, scales, opac, colors = _tiny_scene(n=600)
+    n = means.shape[0]
+    viewmat = camera_to_gsplat_viewmat(jnp.eye(4))
+    K = jnp.asarray([[120.0, 0, 80], [0, 120.0, 64], [0, 0, 1]], jnp.float32)
+    cfg = RasterizeConfig(width=160, height=128, tile_size=32,
+                          max_intersections=512 * 8 * 2,
+                          backend="pallas", interpret=True, fused=True,
+                          render_mode="RGB+ED", rasterize_mode="antialiased")
+    mesh = make_mesh([8], ("data",))
+    target = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (128, 160, 4)), jnp.float32)
+
+    def loss_fn(params, tap, sink, use_mesh):
+        m, q, s, o, c = params
+        render, alpha, info = rasterize(
+            m, q, s, o, c, viewmat, K, cfg, tap2d=tap, absgrad_sink=sink,
+            mesh=mesh if use_mesh else None)
+        loss = jnp.abs(render - target).mean() + 0.1 * alpha.mean()
+        return loss, (render, alpha, info)
+
+    params = (means, quats, scales, opac, colors)
+    tap = jnp.zeros((n, 2), jnp.float32)
+    sink = jnp.zeros((n, 2), jnp.float32)
+    (l1, (r1, al1, i1)), (g1, t1, a1) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2), has_aux=True)(params, tap, sink, False)
+    (l2, (r2, al2, i2)), (g2, t2, a2) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2), has_aux=True)(params, tap, sink, True)
+
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(al1), np.asarray(al2), atol=2e-5)
+    for u, v, name in zip(g1, g2, ("means", "quats", "scales", "opac",
+                                   "colors")):
+        np.testing.assert_allclose(
+            np.asarray(u), np.asarray(v), atol=3e-5, err_msg=name)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=3e-5)
+    assert float(jnp.abs(a2).max()) > 0      # absgrad flows when sharded
+    # truncation signal: max-shard-scaled count >= the true total
+    assert int(i2["n_intersections"]) >= int(i1["n_intersections"])
+
+
+def test_trainer_tile_mesh_matches_unsharded():
+    """VERDICT r2 item 5: the FULL loss stack trains one camera with its
+    tiles sharded across devices. loss_and_grads under a tile mesh must
+    match the unsharded gradients (Adam would amplify f32 noise on
+    near-zero grads, so parity is asserted on grads, not on params
+    after several steps), and Trainer(mesh=...) must run real steps."""
+    from mtgs_tpu.train.trainer import loss_and_grads
+
+    scene = make_synthetic_scene(seed=0, width=64, height=64, n_travels=1,
+                                 n_frames=2, n_bg=220, n_instance=0,
+                                 backend="xla")
+    params, aux = build_scene_model(scene, with_instances=False)
+    cfg = TrainerConfig(
+        width=64, height=64, tile_size=32, max_intersections=2048,
+        max_steps=100, backend="pallas", fused=True, interpret=True,
+        predict_normals=True,
+        control=ctrl.ControlConfig(densify_from_iter=10**9),
+    )
+    mesh = make_mesh([2], ("tile",), devices=jax.devices()[:2])
+    batch = next(batch_iterator(scene, seed=5))
+    step = jnp.asarray(1, jnp.int32)
+
+    t1, l1, _, s1, g1 = loss_and_grads(params, aux, cfg, batch, step)
+    t2, l2, _, s2, g2 = loss_and_grads(params, aux, cfg, batch, step,
+                                       mesh=mesh)
+    np.testing.assert_allclose(float(t1), float(t2), rtol=1e-5)
+    for (a, b) in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=3e-5)
+    assert float(jnp.abs(s2).max()) > 0
+
+    # the Trainer plumbing end-to-end: 2 sharded steps, finite metrics
+    tr = Trainer(cfg, jax.tree.map(jnp.array, params), aux,
+                 batch_iterator(scene, seed=5), mesh=mesh)
+    hist = tr.train(2)
+    for h in hist:
+        assert np.isfinite(float(h["total_loss"]))

@@ -366,6 +366,59 @@ def test_deformable_training_and_refine():
     assert n1 != n0  # refine actually touched the deformable population
 
 
+def test_deformable_enable_schedule_and_canonical_freeze():
+    """VERDICT r2 item 4 / ref `deformable_node.py:95-104,221-227`: the
+    Trainer flips `scene.deform_enabled` at `deform_enable_step`
+    (deformation inert before, active after) and the canonical xyz stop
+    moving the moment deformation starts — render-path stop_gradient
+    plus Adam-update zeroing, asserted as EXACT equality."""
+    from mtgs_tpu.data.synthetic import build_scene_model, make_synthetic_scene
+    from mtgs_tpu.models.deform import init_deform_mlp
+    from mtgs_tpu.models.scene_graph import DeformableParams
+
+    scene = make_synthetic_scene(seed=0, width=48, height=48, n_travels=1,
+                                 n_frames=2, n_bg=200, n_instance=40)
+    params, aux = build_scene_model(scene, with_instances=True)
+    inst, iaux = params.instances, aux.instances
+    deform = DeformableParams(
+        node=inst.node, quats=inst.quats, trans=inst.trans,
+        embeddings=jnp.zeros((inst.node.means.shape[0], 16)),
+        mlp=init_deform_mlp(jax.random.key(0)),
+    )
+    params = params.replace(instances=None, deformables=deform)
+    aux = aux.replace(instances=None, deformables=iaux)
+
+    cfg = TrainerConfig(
+        width=48, height=48, max_intersections=1 << 13, max_steps=100,
+        backend="xla", predict_normals=False, deform_enable_step=4,
+        control=ctrl.ControlConfig(densify_from_iter=10**9),
+    )
+    assert not cfg.scene.deform_enabled
+    trainer = Trainer(cfg, params, aux, batch_iterator(scene))
+    m_init = np.asarray(params.deformables.node.means)
+    mlp_init = np.asarray(params.deformables.mlp.w[0])
+
+    trainer.train(3)   # steps 0..2: deformation inert
+    assert not trainer.cfg.scene.deform_enabled
+    m_pre = np.asarray(trainer.state.params.deformables.node.means)
+    alive = np.asarray(trainer.aux.deformables.alive[0]) > 0
+    assert np.abs(m_pre[0][alive] - m_init[0][alive]).max() > 0, (
+        "canonical means should still receive gradients before the flip")
+    assert np.array_equal(
+        np.asarray(trainer.state.params.deformables.mlp.w[0]),
+        mlp_init), "deform MLP must be inert before the flip"
+
+    trainer.train(2)   # step 3 pre-flip, step 4 flips then steps
+    assert trainer.cfg.scene.deform_enabled
+    m_flip = np.asarray(trainer.state.params.deformables.node.means)
+    trainer.train(3)
+    m_post = np.asarray(trainer.state.params.deformables.node.means)
+    assert np.array_equal(m_flip, m_post), "canonical xyz moved post-flip"
+    assert not np.array_equal(
+        np.asarray(trainer.state.params.deformables.mlp.w[0]),
+        mlp_init), "deform MLP should train once deformation is active"
+
+
 def test_per_node_control_cascade():
     """Per-node control override cascade (ref `_update_gaussian_cfg`,
     mtgs_scene_graph.py:194-205): None inherits the global control; the
