@@ -192,6 +192,26 @@ class SampleConfig:
     mask_classes: Tuple[str, ...] = ("pedestrian", "bicycle")
     mask_all_foreground: bool = False  # eval-only traversals
     load_panoptic: bool = False
+    # render/inference mode: zero image of the camera's geometry, no
+    # file reads (ref `custom_dataset.py:306-316` get_fake_data)
+    fake_data: bool = False
+
+
+def adjust_brightness(image_u8: np.ndarray, factor: float) -> np.ndarray:
+    """Per-camera exposure alignment applied at load (ref
+    `custom_dataset.py:24-31,89-91`: RGB->HSV, scale + clip the V
+    channel, back to RGB). For fixed hue/saturation, RGB is linear in V,
+    so the cv2 HSV round-trip is equivalent to scaling each pixel's RGB
+    by min(factor, 255/V) with V = max(R, G, B) — computed here directly
+    in numpy (no cv2 dependency), preserving hue/saturation under clip
+    exactly where the uint8 HSV path does."""
+    if factor == 1.0:
+        return image_u8
+    v = image_u8.max(axis=-1, keepdims=True).astype(np.float64)
+    scale = np.where(
+        v > 0, np.minimum(v * factor, 255.0) / np.maximum(v, 1e-9), 1.0
+    )
+    return np.clip(np.round(image_u8 * scale), 0, 255).astype(np.uint8)
 
 
 def _resize(img: np.ndarray, scale: float, nearest: bool = False) -> np.ndarray:
@@ -221,13 +241,35 @@ def load_sample(
     """Load + undistort + derive all layers for one view (host-side)."""
     from PIL import Image
 
-    img = np.asarray(Image.open(rec.image_path)).astype(np.float32) / 255.0
+    if cfg.fake_data:
+        # inference mode (ref `custom_dataset.py:306-316`): a zero image
+        # with the camera's undistorted geometry, no file reads
+        img = np.zeros((rec.height, rec.width, 3), np.float32)
+    else:
+        img_u8 = np.asarray(Image.open(rec.image_path))
+        if img_u8.ndim == 2:
+            img_u8 = np.repeat(img_u8[:, :, None], 3, axis=2)
+        img_u8 = adjust_brightness(img_u8[..., :3], rec.v_adjust)
+        img = img_u8.astype(np.float32) / 255.0
     h, w = img.shape[:2]
     und, newK, valid = undistort_image(img, rec.intrinsic, rec.distortion, cfg.undistort)
     mask = valid.astype(np.float32)[..., None]
 
+    if (not cfg.fake_data and rec.ego_mask_path
+            and Path(rec.ego_mask_path).exists()):
+        # static per-camera ego-vehicle mask: nonzero pixels are the ego
+        # body -> excluded from supervision (ref custom_dataset.py:154-160)
+        ego_raw = np.asarray(Image.open(rec.ego_mask_path).convert("L"))
+        ego_valid = (ego_raw == 0).astype(np.float32)
+        ego_und, _, _ = undistort_image(
+            ego_valid, rec.intrinsic, rec.distortion, cfg.undistort,
+            nearest=True)
+        mask = mask * ego_und[..., None]
+
     sem = None
-    if rec.semantic_mask_path and Path(rec.semantic_mask_path).exists():
+    if cfg.fake_data:
+        pass
+    elif rec.semantic_mask_path and Path(rec.semantic_mask_path).exists():
         sem_raw = np.asarray(Image.open(rec.semantic_mask_path))
         sem, _, _ = undistort_image(sem_raw, rec.intrinsic, rec.distortion,
                                     cfg.undistort, nearest=True)
@@ -246,14 +288,16 @@ def load_sample(
 
     out: Dict[str, np.ndarray] = {}
     depth = None
-    if cfg.load_lidar_depth and rec.lidar_path and Path(rec.lidar_path).exists():
+    if (not cfg.fake_data and cfg.load_lidar_depth and rec.lidar_path
+            and Path(rec.lidar_path).exists()):
         from mtgs_tpu.utils.pointcloud import load_pcd
 
         pts, _ = load_pcd(rec.lidar_path)
         if pts is not None:
             depth = lidar_depth_image(pts, rec.lidar2cam, newK, (w, h))
     pseudo = None
-    if cfg.load_pseudo_depth and rec.depth_image_path and Path(rec.depth_image_path).exists():
+    if (not cfg.fake_data and cfg.load_pseudo_depth and rec.depth_image_path
+            and Path(rec.depth_image_path).exists()):
         png = np.asarray(Image.open(rec.depth_image_path))
         if png.ndim == 3 and png.shape[2] >= 2:
             pseudo = decode_pseudo_depth(png)

@@ -104,6 +104,13 @@ class ImageRecord:
     panoptic_mask_path: Optional[str] = None
     width: int = 1920
     height: int = 1080
+    # per-image brightness factor from the preprocess exposure alignment
+    # (ref `nuplan_dataparser.py:358-359` reads cam_info['v_adjust'];
+    # applied at load, `custom_dataset.py:78-97`)
+    v_adjust: float = 1.0
+    # static per-camera ego-vehicle mask (ref `custom_dataset.py:154-160`,
+    # path scheme `nuplan_dataparser.py:320-326`)
+    ego_mask_path: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -179,6 +186,7 @@ def parse_scene(
     voxel_size: float = 0.15,
     pickle_name: str = "video_scene_dict.pkl",
     eval_tokens: Optional[set] = None,
+    use_exposure_alignment: bool = True,
 ) -> ParsedScene:
     """Parse one road block folder into flat records + seeds."""
     data_root = Path(data_root)
@@ -306,6 +314,9 @@ def parse_scene(
                     depth_image_path=str(
                         data_root / "optimal_undistorted_depth" / ci["data_path"].replace(".jpg", ".png")
                     ),
+                    v_adjust=float(ci.get("v_adjust", 1.0))
+                    if use_exposure_alignment else 1.0,
+                    ego_mask_path=str(data_root / "ego_masks" / f"{cam}.png"),
                 ))
 
     scene = ParsedScene(

@@ -38,6 +38,50 @@ from pathlib import Path
 import numpy as np
 
 
+def _scene_cache_roundtrip(path: Path, build):
+    """Cache the (expensive: ~500 s of GT renders) synthetic scene to an
+    npz so diagnostic reruns skip the build."""
+    import dataclasses as dc
+
+    from mtgs_tpu.data.synthetic import SyntheticScene
+
+    if path.exists():
+        z = np.load(path)
+        return SyntheticScene(**{
+            f.name: (z[f.name] if f.name in z.files
+                     else int(z[f"_{f.name}"]))
+            for f in dc.fields(SyntheticScene)
+        })
+    scene = build()
+    payload = {}
+    for f in dc.fields(SyntheticScene):
+        v = getattr(scene, f.name)
+        if isinstance(v, np.ndarray):
+            payload[f.name] = v
+        else:
+            payload[f"_{f.name}"] = np.asarray(v)
+    np.savez_compressed(path, **payload)
+    return scene
+
+
+def _nan_report(trainer, metrics, log):
+    """First-NaN diagnostics: every metric plus a per-leaf NaN census of
+    the parameter tree."""
+    import jax
+
+    log("NaN DIAGNOSTIC — all step metrics:")
+    for k in sorted(metrics):
+        log(f"  {k} = {float(metrics[k]):.6g}")
+    flat, _ = jax.tree_util.tree_flatten_with_path(trainer.state.params)
+    for path, leaf in flat:
+        a = np.asarray(leaf)
+        bad = int(np.size(a) - np.isfinite(a).sum())
+        if bad:
+            name = "".join(str(p) for p in path)
+            log(f"  param {name}: {bad}/{a.size} non-finite "
+                f"(|max finite|={np.abs(a[np.isfinite(a)]).max() if np.isfinite(a).any() else 0:.3g})")
+
+
 def _stages_for(steps: int):
     """Resolution ladder (ref `custom_datamanager.py:143-152`): coarse
     warmup, then half, then full resolution."""
@@ -216,15 +260,17 @@ def main(argv=None):
     t0 = time.time()
     log(f"building synthetic road block: {args.n_bg} GT gaussians, "
         f"{args.n_travels}x{args.n_frames} views at {args.width}x{args.height}")
-    scene = make_synthetic_scene(
-        seed=0, width=args.width, height=args.height,
-        n_travels=args.n_travels, n_frames=args.n_frames,
-        n_bg=args.n_bg, n_instance=args.n_instance, extent=args.extent,
-        backend=args.backend, n_seed=args.n_seed,
-        ground_scale=0.18, color_noise=0.25,
-        gt_max_intersections=args.gt_max_isect,
-    )
-    log(f"scene built in {time.time() - t0:.0f}s")
+    scene = _scene_cache_roundtrip(
+        out / "scene_cache.npz",
+        lambda: make_synthetic_scene(
+            seed=0, width=args.width, height=args.height,
+            n_travels=args.n_travels, n_frames=args.n_frames,
+            n_bg=args.n_bg, n_instance=args.n_instance, extent=args.extent,
+            backend=args.backend, n_seed=args.n_seed,
+            ground_scale=0.18, color_noise=0.25,
+            gt_max_intersections=args.gt_max_isect,
+        ))
+    log(f"scene ready in {time.time() - t0:.0f}s")
 
     # split: traversals 0..T-2 train on f%4!=2; last traversal fully unseen
     seen_travels = list(range(args.n_travels - 1))
@@ -255,6 +301,9 @@ def main(argv=None):
             f"psnr={metrics.get('psnr', 0):.2f} "
             f"gaussians={int(metrics.get('gaussian_count', 0))} "
             f"n_isect={int(metrics.get('n_intersections', 0))}")
+        if not np.isfinite(metrics.get("total_loss", 0.0)):
+            _nan_report(trainer, metrics, log)
+            raise SystemExit(3)
 
     resume_at = (args.steps // 2 // args.save_every) * args.save_every
     resume_done = (out / "RESUME_DEMO_DONE").exists() or done > resume_at

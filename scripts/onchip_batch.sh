@@ -69,6 +69,8 @@ run_step bench_fused_nodb    1800 MTGS_DB_DMA=0 -- python bench.py
 run_step train_fused         2400 -- python -m mtgs_tpu.tools.bench_train --fused
 run_step train_classic       2400 -- python -m mtgs_tpu.tools.bench_train
 run_step grow_demo           3600 -- python -m mtgs_tpu.tools.grow_demo
+# eval + interpolated render + viewer on the chip (VERDICT r2 weak #6)
+run_step eval_render_viewer  2400 -- python -m mtgs_tpu.tools.onchip_smoke
 
 echo "=== batch complete ==="
 cat "$STATUS"

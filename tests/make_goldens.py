@@ -169,14 +169,16 @@ def render(means, quats, scales, opac, colors, viewmat, K, W, H, *,
 
 
 def make_case(name, *, antialiased, with_depth, n=1500, W=128, H=128,
-              tile_size=32, seed=0, out_dir=None):
+              tile_size=32, seed=0, out_dir=None, xy_extent=3.2,
+              opac_range=(0.15, 0.95), scale_range=(0.05, 0.4)):
     torch.manual_seed(0)
     rng = np.random.default_rng(seed)
     means = np.concatenate(
-        [rng.uniform(-3.2, 3.2, (n, 2)), rng.uniform(3.5, 12.0, (n, 1))], 1)
+        [rng.uniform(-xy_extent, xy_extent, (n, 2)),
+         rng.uniform(3.5, 12.0, (n, 1))], 1)
     quats = rng.normal(size=(n, 4))
-    scales = rng.uniform(0.05, 0.4, (n, 3))
-    opac = rng.uniform(0.15, 0.95, n)
+    scales = rng.uniform(*scale_range, (n, 3))
+    opac = rng.uniform(*opac_range, n)
     colors = rng.uniform(0.0, 1.0, (n, 3))
     viewmat = np.eye(4)
     K = np.array([[110.0, 0, W / 2], [0, 110.0, H / 2], [0, 0, 1.0]])
@@ -246,3 +248,12 @@ if __name__ == "__main__":
     torch.set_default_dtype(torch.float64)
     make_case("classic_rgb", antialiased=False, with_depth=False)
     make_case("antialiased_rgbed", antialiased=True, with_depth=True)
+    # the reference's tile size (BLOCK_WIDTH=16, mtgs_scene_graph.py:640)
+    make_case("antialiased_rgbed_tile16", antialiased=True, with_depth=True,
+              n=800, W=96, H=96, tile_size=16)
+    # deep alpha stack: ~400 large near-opaque splats piled on one spot —
+    # pins the 1/255 contribution cutoff + T<1e-4 early-exit ORDER to
+    # gsplat semantics, not just to our own oracle (VERDICT r2 weak #3)
+    make_case("deep_stack_classic", antialiased=False, with_depth=False,
+              n=400, W=64, H=64, xy_extent=0.5,
+              opac_range=(0.7, 0.99), scale_range=(0.15, 0.5))

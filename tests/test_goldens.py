@@ -20,7 +20,28 @@ import pytest
 from mtgs_tpu.raster import RasterizeConfig, rasterize
 
 GOLDEN_DIR = Path(__file__).parent / "goldens"
-CASES = ["classic_rgb", "antialiased_rgbed"]
+# tile16 = the reference's BLOCK_WIDTH (mtgs_scene_graph.py:640);
+# deep_stack pins the 1/255 cutoff + early-exit order under ~400
+# overlapping near-opaque splats (VERDICT r2 weak #3)
+CASES = ["classic_rgb", "antialiased_rgbed", "antialiased_rgbed_tile16",
+         "deep_stack_classic"]
+# every golden is asserted through BOTH the XLA reference path and the
+# production Pallas path (interpret mode off-TPU) — the fused pipeline
+# included, since pallas defaults to fused
+BACKENDS = ["xla", "pallas"]
+
+
+def _cfg(g, backend):
+    import jax
+
+    return RasterizeConfig(
+        width=int(g["W"]), height=int(g["H"]), tile_size=int(g["tile_size"]),
+        rasterize_mode="antialiased" if bool(g["antialiased"]) else "classic",
+        render_mode="RGB+ED" if bool(g["with_depth"]) else "RGB",
+        max_intersections=1 << 16, backend=backend,
+        interpret=(backend == "pallas"
+                   and jax.default_backend() != "tpu"),
+    )
 
 
 def _load(name):
@@ -30,15 +51,11 @@ def _load(name):
     return np.load(path)
 
 
+@pytest.mark.parametrize("backend", BACKENDS)
 @pytest.mark.parametrize("name", CASES)
-def test_forward_matches_gsplat_golden(name):
+def test_forward_matches_gsplat_golden(name, backend):
     g = _load(name)
-    cfg = RasterizeConfig(
-        width=int(g["W"]), height=int(g["H"]), tile_size=int(g["tile_size"]),
-        rasterize_mode="antialiased" if bool(g["antialiased"]) else "classic",
-        render_mode="RGB+ED" if bool(g["with_depth"]) else "RGB",
-        max_intersections=1 << 16, backend="xla",
-    )
+    cfg = _cfg(g, backend)
     render, alpha, _ = jax.jit(lambda *a: rasterize(*a, cfg))(
         jnp.asarray(g["means"], jnp.float32),
         jnp.asarray(g["quats"], jnp.float32),
@@ -54,15 +71,11 @@ def test_forward_matches_gsplat_golden(name):
     np.testing.assert_allclose(np.asarray(alpha), g["alpha"], atol=1e-3)
 
 
+@pytest.mark.parametrize("backend", BACKENDS)
 @pytest.mark.parametrize("name", CASES)
-def test_gradients_match_gsplat_golden(name):
+def test_gradients_match_gsplat_golden(name, backend):
     g = _load(name)
-    cfg = RasterizeConfig(
-        width=int(g["W"]), height=int(g["H"]), tile_size=int(g["tile_size"]),
-        rasterize_mode="antialiased" if bool(g["antialiased"]) else "classic",
-        render_mode="RGB+ED" if bool(g["with_depth"]) else "RGB",
-        max_intersections=1 << 16, backend="xla",
-    )
+    cfg = _cfg(g, backend)
     cot_r = jnp.asarray(g["cot_r"], jnp.float32)
     cot_a = jnp.asarray(g["cot_a"], jnp.float32)
     viewmat = jnp.asarray(g["viewmat"], jnp.float32)
