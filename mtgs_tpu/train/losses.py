@@ -120,6 +120,17 @@ def ssim(
 def depth_loss(pred: jax.Array, gt: jax.Array, mask: jax.Array, kind: str) -> jax.Array:
     """LiDAR depth loss (`mtgs_scene_graph.py:875-884`). [H, W, 1] each."""
     if kind == "InverseL1":
+        # physical floor: true expected depth can never be closer than
+        # the near plane; pred below it is an artifact of the
+        # ED-normalization clamp (accum / max(alpha, 1e-10) -> ~0 at
+        # vanishing alpha), whose 1/(pred+1e-5) gradient (~1e10, inf
+        # after the chain rule) NaN'd a full 960x540 campaign at step
+        # ~1.7k (results/onchip/campaign_r3). Clamping to the near plane
+        # is exact for every legitimate render and bounds the gradient;
+        # the reference's identical formula (mtgs_scene_graph.py:876-880)
+        # never sees the artifact because real LiDAR-valid pixels carry
+        # solid alpha.
+        pred = jnp.maximum(pred, 0.01)
         err = jnp.abs(1.0 / (gt + 1e-5) - 1.0 / (pred + 1e-5))
     elif kind == "L1":
         err = jnp.abs(gt - pred)

@@ -224,7 +224,11 @@ def render_view(
     rgb_appearance = apply_exposure(params.appearance, rgb, batch.cam_idx)
 
     depth = render[..., -1:]
-    depth = jnp.where(alpha > 0, depth, jax.lax.stop_gradient(depth).max())
+    # threshold 1e-6 (not 0): below it the ED normalization divides by
+    # the 1e-10 clamp instead of alpha, yielding near-zero depths with
+    # explosive 1/depth-loss gradients (the campaign_r3 NaN); such
+    # pixels are treated like empty ones
+    depth = jnp.where(alpha > 1e-6, depth, jax.lax.stop_gradient(depth).max())
 
     out = dict(
         rgb=rgb,
