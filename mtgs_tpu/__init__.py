@@ -22,3 +22,17 @@ Layer map (see SURVEY.md for the reference analysis this is built against):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# f32 matmuls/convs on TPU default to ONE bf16 MXU pass: measured 1e-2
+# RELATIVE error (2026-08-21 on-chip: |err|max 1.07 on O(100) operands,
+# 0.17 for a 256-wide pallas dot). That silently corrupted every
+# non-kernel matmul on the render path — camera transforms, projection,
+# the SSIM window convs (whose variance estimates then cross the C2
+# stabilizer on flat regions: SSIM values of -40 and the campaign_r3
+# divergence), deform/appearance MLPs, eval metrics. The Pallas kernels
+# pin their own precision explicitly; everything else gets the correct
+# f32 semantics here. Cost is negligible: the hot-path compute is in
+# Pallas kernels and lax.sorts, not XLA matmuls.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -141,7 +141,8 @@ def _chunk_common(geom, origin_x, origin_y, F, LT, log_t_all, bounds=None):
     )  # [6, CHUNK]
 
     S = jax.lax.dot_general(
-        F, Q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        F, Q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [PIX, CHUNK] Mahalanobis/2
     E = jnp.exp(-S)
     raw = opac * E
@@ -158,7 +159,8 @@ def _chunk_common(geom, origin_x, origin_y, F, LT, log_t_all, bounds=None):
     # inclusive cumsum over the gaussian axis (triangular matmul, MXU)
     incl = (
         jax.lax.dot_general(
-            L, LT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            L, LT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
         )
         + log_t_all
     )
@@ -186,7 +188,8 @@ def forward_chunk(
     c = _chunk_common(geom, origin_x, origin_y, F, LT, carry.log_t_all, bounds)
     # rgb[ch, p] += sum_i col[ch, i] * w[p, i]
     rgb = carry.rgb + jax.lax.dot_general(
-        col, c["w"], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        col, c["w"], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     log_t_all = carry.log_t_all + jnp.sum(c["L"], axis=1, keepdims=True)
     log_t_out = carry.log_t_out + jnp.sum(c["L"] * c["mask"], axis=1, keepdims=True)
@@ -219,12 +222,14 @@ def backward_chunk(
 
     # gdot[p, i] = sum_ch g_rgb[ch, p] * col[ch, i]
     gdot = jax.lax.dot_general(
-        g_rgb, col, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        g_rgb, col, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     wg = w * gdot
     incl_wg = (
         jax.lax.dot_general(
-            wg, LT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            wg, LT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
         )
         + carry.wg_cum
     )
@@ -239,7 +244,8 @@ def backward_chunk(
 
     # Moments M[k, i] = sum_p F[p, k] * g_sigma[p, i]  (MXU)
     M = jax.lax.dot_general(
-        F, g_sigma, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        F, g_sigma, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [6, CHUNK]
     m_xx, m_yy, m_xy = M[0:1], M[1:2], M[2:3]
     m_x, m_y, m_0 = M[3:4], M[4:5], M[5:6]
@@ -256,7 +262,8 @@ def backward_chunk(
 
     # g_col[ch, i] = sum_p g_rgb[ch, p] * w[p, i]
     g_col = jax.lax.dot_general(
-        g_rgb, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        g_rgb, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     g_slab = jnp.concatenate(
         [g_mx, g_my, g_cA, g_cB, g_cC, g_opac_col[None, :], g_col], axis=0

@@ -241,6 +241,10 @@ def main(argv=None):
     ap.add_argument("--extent", type=float, default=60.0)
     ap.add_argument("--fresh", action="store_true",
                     help="ignore existing checkpoints in --out")
+    ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--paranoid", action="store_true",
+                    help="log EVERY loss component at each log step "
+                         "(divergence diagnosis)")
     args = ap.parse_args(argv)
 
     import jax
@@ -301,6 +305,10 @@ def main(argv=None):
             f"psnr={metrics.get('psnr', 0):.2f} "
             f"gaussians={int(metrics.get('gaussian_count', 0))} "
             f"n_isect={int(metrics.get('n_intersections', 0))}")
+        if args.paranoid:
+            log("  " + " ".join(
+                f"{k}={float(v):.4g}" for k, v in sorted(metrics.items())
+                if k not in ("gaussian_count", "n_intersections")))
         if not np.isfinite(metrics.get("total_loss", 0.0)):
             _nan_report(trainer, metrics, log)
             raise SystemExit(3)
@@ -312,7 +320,7 @@ def main(argv=None):
         nxt = min(((done // args.save_every) + 1) * args.save_every, args.steps)
         t_leg = time.time()
         n_leg = nxt - done
-        trainer.train(n_leg, log_every=100, callback=cb)
+        trainer.train(n_leg, log_every=args.log_every, callback=cb)
         done = int(trainer.state.step)
         dt = time.time() - t_leg
         legs.append(dict(to_step=done, seconds=round(dt, 1),
