@@ -33,6 +33,10 @@ import jax as _jax
 # stabilizer on flat regions: SSIM values of -40 and the campaign_r3
 # divergence), deform/appearance MLPs, eval metrics. The Pallas kernels
 # pin their own precision explicitly; everything else gets the correct
-# f32 semantics here. Cost is negligible: the hot-path compute is in
-# Pallas kernels and lax.sorts, not XLA matmuls.
-_jax.config.update("jax_default_matmul_precision", "highest")
+# f32 semantics here. MTGS_MATMUL_PRECISION overrides (measurement /
+# emergency escape hatch only).
+import os as _os
+
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("MTGS_MATMUL_PRECISION", "highest"))
