@@ -98,4 +98,6 @@ def eval_sh(degree: int, coeffs: jax.Array, dirs: jax.Array) -> jax.Array:
     n = num_sh_bases(degree)
     d = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
     basis = sh_basis(degree, d)  # [..., n]
-    return jnp.einsum("...k,...kc->...c", basis, coeffs[..., :n, :]) + 0.5
+    # broadcast multiply-reduce (see scene_graph.py: the batched-tiny
+    # matmul lowering of the einsum form is pathologically slow on TPU)
+    return (basis[..., :, None] * coeffs[..., :n, :]).sum(-2) + 0.5

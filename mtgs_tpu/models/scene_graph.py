@@ -194,7 +194,10 @@ def _eval_colors(
     dirs = dirs / jnp.sqrt(jnp.sum(dirs * dirs, -1, keepdims=True) + 1e-24)
     basis = sh_basis(3, dirs) * sh_mask  # [n, 16]
     k = coeffs.shape[-2]
-    rgb = jnp.einsum("...k,...kc->...c", basis[..., :k], coeffs) + 0.5
+    # broadcast multiply-reduce, NOT einsum: the per-row [1,16]@[16,3]
+    # batched matmul this einsum lowers to costs ~2.5 s at 262k rows on
+    # TPU (0.5 s even at bf16 precision); the elementwise form is sub-ms
+    rgb = (basis[..., :k, None] * coeffs).sum(-2) + 0.5
     return jnp.clip(rgb, 0.0, 1.0)
 
 

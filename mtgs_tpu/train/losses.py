@@ -290,7 +290,9 @@ def gaussian_camera_normals(
     oriented toward the camera, rotated into the camera frame."""
     idx = jnp.argmin(scales, axis=-1)
     axis = jax.nn.one_hot(idx, 3, dtype=scales.dtype)
-    n = jnp.einsum("nij,nj->ni", quats_rotmat, axis)
+    # broadcast form; the batched per-row 3x3 einsum lowers to tiny
+    # matmuls that crawl on TPU (see scene_graph SH note)
+    n = (quats_rotmat * axis[:, None, :]).sum(-1)
     n = n / jnp.sqrt(jnp.sum(n * n, -1, keepdims=True) + 1e-24)
     view = cam_pos - jax.lax.stop_gradient(means)
     view = view / jnp.sqrt(jnp.sum(view * view, -1, keepdims=True) + 1e-24)
