@@ -43,5 +43,14 @@ def _load():
 
 
 def get_lpips() -> Optional[Callable[[np.ndarray, np.ndarray], Optional[float]]]:
-    """A callable (pred_hwc, gt_hwc) -> lpips, or None if unavailable."""
+    """A callable (pred_hwc, gt_hwc) -> lpips, or None if unavailable.
+
+    Resolution order: (1) the pure-JAX AlexNet forward with local
+    weights (`lpips_jax.py` — weights-drop-ready, no torch at eval
+    time); (2) the torchmetrics host path if its cached weights exist."""
+    from mtgs_tpu.eval.lpips_jax import get_lpips_jax
+
+    jx = get_lpips_jax()
+    if jx is not None:
+        return jx
     return _load()

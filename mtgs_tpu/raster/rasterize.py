@@ -23,6 +23,7 @@ statistics in the same backward pass as the parameter gradients.
 from __future__ import annotations
 
 import functools
+import logging
 import os
 from typing import NamedTuple, Optional, Tuple
 
@@ -36,6 +37,9 @@ from mtgs_tpu.raster.blend_reference import blend_reference
 from mtgs_tpu.raster.blend_xla import blend_backward_xla, blend_forward_xla
 from mtgs_tpu.raster.chunk_math import CHUNK, MAX_CH, NUM_GEOM
 from mtgs_tpu.raster.projection import project_gaussians
+
+_LOG = logging.getLogger(__name__)
+_UNSHARDED_WARNED: set = set()
 
 
 class RasterizeConfig(NamedTuple):
@@ -719,8 +723,26 @@ def rasterize(
         and fused_fits(config.max_intersections, num_tiles, N)
     )
     shard_plan = None
-    if use_fused and mesh is not None:
-        shard_plan = _fused_shard_plan(config, mesh.shape[shard_axis], N)
+    if mesh is not None:
+        if use_fused:
+            shard_plan = _fused_shard_plan(config, mesh.shape[shard_axis], N)
+        if shard_plan is None:
+            # a mesh was requested but the fully-sharded plan is not
+            # viable (capacity not divisible by n_dev*512, fused gate
+            # failed, ...) — warn once per (config shape) so scaling
+            # runs can't silently measure the single-device path
+            # (ADVICE r3).
+            key = (config.max_intersections, config.width, config.height,
+                   int(mesh.shape[shard_axis]), N)
+            if key not in _UNSHARDED_WARNED:
+                _UNSHARDED_WARNED.add(key)
+                _LOG.warning(
+                    "rasterize: mesh(%s=%d) given but fused shard plan "
+                    "inactive (max_intersections=%d, fused=%s) — "
+                    "rendering without whole-pipeline tile sharding",
+                    shard_axis, mesh.shape[shard_axis],
+                    config.max_intersections, use_fused,
+                )
 
     if shard_plan is not None:
         # WHOLE-pipeline tile sharding: per-shard spans/expand/sort/blend

@@ -807,6 +807,17 @@ class Trainer:
 
     # --------------------------------------------------------------- loop
 
+    def _isect_granule(self) -> int:
+        """Rounding unit for max_intersections: the Pallas expand gate
+        needs %512; the fully-sharded plan additionally needs
+        %(n_dev*512) (`_fused_shard_plan`) — without this a Trainer
+        (mesh=...) run would silently drop tile sharding after the first
+        growth / ladder stage (ADVICE r3)."""
+        g = 512
+        if self.mesh is not None:
+            g *= int(self.mesh.shape[self.mesh_axis])
+        return g
+
     def _set_resolution_stage(self, scale: float):
         """Re-jit the step at the stage resolution + swap the data
         iterator (the reference's per-stage dataloader + memory release,
@@ -818,8 +829,9 @@ class Trainer:
         first = next(self.data)
         h, w = first.image.shape[:2]
         self._pending_batch = first
+        gran = self._isect_granule()
         isect = max(int(base.max_intersections * scale * scale), 1 << 14)
-        isect = ((isect + 511) // 512) * 512  # keep the Pallas expand gate
+        isect = ((isect + gran - 1) // gran) * gran  # Pallas/shard gates
         self.cfg = base.replace(width=w, height=h, max_intersections=isect)
         self._step_fn = self._make_step(self.cfg)
         self._refine_fns = {}
@@ -834,8 +846,15 @@ class Trainer:
         cc = self.cfg.control
         timer = StepTimer(pixels_per_step=self.cfg.width * self.cfg.height)
         history = []
+        # Host-side step counter: syncing `int(self.state.step)` every
+        # iteration would block on the previous dispatch, making step
+        # time = compute + device-link RTT (measured: ~30 ms healthy,
+        # seconds when the tunnel degrades — the campaign_r3 1.8-4.7
+        # s/step mystery). The host runs ahead and only syncs at refine
+        # boundaries / log steps, so dispatches pipeline on-device.
+        step0 = int(self.state.step)
         for i in range(num_steps):
-            step = int(self.state.step)
+            step = step0 + i
             if (
                 self.cfg.deform_enable_step is not None
                 and not self.cfg.scene.deform_enabled
@@ -895,10 +914,11 @@ class Trainer:
                         self.cfg.auto_grow
                         and n_isect > self.cfg.isect_grow_frac * self.cfg.max_intersections
                     ):
+                        gran = self._isect_granule()
                         new_isect = int(
                             self.cfg.max_intersections * self.cfg.isect_grow_factor
                         )
-                        new_isect = ((new_isect + 511) // 512) * 512
+                        new_isect = ((new_isect + gran - 1) // gran) * gran
                         _LOG.info(
                             "growing max_intersections %d -> %d (measured %d)",
                             self.cfg.max_intersections, new_isect, n_isect,
