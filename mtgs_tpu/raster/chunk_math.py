@@ -39,6 +39,7 @@ Blend semantics match gsplat v1.4 / classic 3DGS:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -53,6 +54,55 @@ MAX_CH = 8           # colors per gaussian: up to 7 channels + depth
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.999
 LOG_T_EPS = -9.210340371976182  # log(1e-4)
+
+
+def bf16_split_enabled() -> bool:
+    """Use 3-pass bf16 operand splitting for the exact-RHS MXU dots.
+
+    TPU f32 `Precision.HIGHEST` lowers to SIX bf16 MXU passes (3-way
+    split of BOTH operands). When one operand is EXACTLY
+    bf16-representable (one-hot selectors, the 0/1 triangular-cumsum
+    matrix), splitting only the value side gives full f32-exact values
+    in THREE passes — the recovery lever documented in
+    docs/SORT_WALL.md §5 for the f32 precision tax (VERDICT r3 weak #1).
+    Exactness: for f32 x, hi=bf16(x), mid=bf16(x-hi), lo=x-hi-mid has
+    <= 8 significant bits left, so lo is bf16-exact and hi+mid+lo == x
+    bit-for-bit; one-hot selections reproduce x exactly ((hi+mid) is a
+    16-bit-mantissa value, exactly representable, then +lo restores x).
+    Cumulative sums accumulate each pass in f32 — same error class as
+    HIGHEST, different rounding order.
+
+    Default: ON for compiled TPU kernels, OFF elsewhere (CPU bf16 dots
+    are emulated and slow; the XLA-twin/golden tests stay f32).
+    Override with MTGS_BF16_SPLIT=1/0.
+    """
+    env = os.environ.get("MTGS_BF16_SPLIT")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() == "tpu"
+
+
+def dot_exact_rhs(values: jax.Array, rhs: jax.Array, dnums):
+    """`dot_general(values, rhs)` with f32-exact results where `rhs` is
+    exactly bf16-representable (0/1 matrices): 3 bf16 passes when
+    splitting is enabled, else one HIGHEST (6-pass) f32 dot."""
+    if not bf16_split_enabled():
+        return jax.lax.dot_general(
+            values, rhs, dnums, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    rhs_b = rhs.astype(jnp.bfloat16)
+    hi = values.astype(jnp.bfloat16)
+    r1 = values - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = None
+    for part in (hi, mid, lo):
+        d = jax.lax.dot_general(
+            part, rhs_b, dnums, preferred_element_type=jnp.float32,
+        )
+        acc = d if acc is None else acc + d
+    return acc
 
 
 class BlendCarry(NamedTuple):
@@ -156,14 +206,10 @@ def _chunk_common(geom, origin_x, origin_y, F, LT, log_t_all, bounds=None):
     contrib = contrib.astype(S.dtype)
     alpha = jnp.minimum(raw, ALPHA_MAX) * contrib
     L = jnp.log1p(-alpha)
-    # inclusive cumsum over the gaussian axis (triangular matmul, MXU)
-    incl = (
-        jax.lax.dot_general(
-            L, LT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-        )
-        + log_t_all
-    )
+    # inclusive cumsum over the gaussian axis (triangular matmul, MXU;
+    # the 0/1 triangular side is bf16-exact, so the 3-pass value split
+    # applies — see dot_exact_rhs)
+    incl = dot_exact_rhs(L, LT, (((1,), (0,)), ((), ()))) + log_t_all
     mask = (incl > LOG_T_EPS).astype(S.dtype)
     T = jnp.exp(incl - L)  # transmittance BEFORE each gaussian
     w = alpha * T * mask   # composited weight
@@ -226,13 +272,7 @@ def backward_chunk(
         precision=jax.lax.Precision.HIGHEST,
     )
     wg = w * gdot
-    incl_wg = (
-        jax.lax.dot_general(
-            wg, LT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-        )
-        + carry.wg_cum
-    )
+    incl_wg = dot_exact_rhs(wg, LT, (((1,), (0,)), ((), ()))) + carry.wg_cum
     suffix = total_dot - incl_wg  # sum over later composited gaussians of w*gdot
     one_m = 1.0 - alpha           # >= 1 - ALPHA_MAX for composited entries
 

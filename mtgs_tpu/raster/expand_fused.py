@@ -124,15 +124,17 @@ def _compute(win, g0, k, tot_ref, key_ref, src_ref, attr_ref,
     # (off / lo / hi / global index) are table rows [0, nw+4), so a
     # single [nw+4, WINA] x [WINA, B] contraction fetches everything.
     # Each output column is exactly one input column times 1.0 — exact
-    # under HIGHEST (native f32 passes; a default-precision dot may
-    # lower to single-pass bf16 and round the < 2^24 integer rows).
-    # Unlike the previous delta-telescoping formulation, no
+    # under HIGHEST (6 bf16 MXU passes) and EQUALLY exact under the
+    # 3-pass value-side bf16 split (`dot_exact_rhs`: hi+mid+lo
+    # reconstructs any f32 bit-for-bit and the one-hot side is 0/1),
+    # which halves this kernel's MXU area (SORT_WALL §5's recovery
+    # lever). Unlike the previous delta-telescoping formulation, no
     # accumulation-order assumption is needed (advisor r1 note): there
     # are no partial subset sums, only a one-hot selection.
-    out = jax.lax.dot_general(
-        win[0: nw + 4], oht, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    from mtgs_tpu.raster.chunk_math import dot_exact_rhs
+
+    out = dot_exact_rhs(
+        win[0: nw + 4], oht, (((1,), (1,)), ((), ()))
     )                                                            # [nw+4, B]
     attr_ref[0:nw] = out[0:nw]
     if attr_ref.shape[0] > nw:

@@ -690,6 +690,37 @@ def rasterize(
 
     backend = config.resolve_backend()
 
+    if mesh is not None and config.fused and backend == "pallas":
+        # gaussian-ownership distributed pipeline (dist_fused.py): every
+        # stage — projection, spans, depth sort, expand, pair exchange,
+        # merge, blend — is per-shard sized; pairs ride ICI via
+        # all_to_all instead of replicating the gaussian table. Falls
+        # through to the band-replicated plan below when shapes don't
+        # divide (N % n_dev, I % (n_dev * 512)).
+        from mtgs_tpu.raster.dist_fused import (
+            dist_shard_plan, rasterize_fused_dist,
+        )
+
+        dplan = dist_shard_plan(config, int(mesh.shape[shard_axis]), N)
+        if dplan is not None:
+            c_total = C + (1 if config.with_depth else 0)
+            tap = (tap2d if tap2d is not None
+                   else jnp.zeros((N, 2), means.dtype))
+            sink = (absgrad_sink if absgrad_sink is not None
+                    else jnp.zeros((N, 2), means.dtype))
+            rgb_flat, t_flat, n_isect, m2d, radii, depths = (
+                rasterize_fused_dist(
+                    config, mesh, shard_axis, dplan, c_total,
+                    means, quats, scales, opacities, colors,
+                    viewmat, K, tap, sink,
+                ))
+            nt = config.tiles_x * config.tiles_y
+            render, alpha = _assemble_image(
+                rgb_flat[:nt], t_flat[:nt], config, c_total)
+            info = dict(means2d=m2d, radii=radii, depths=depths,
+                        n_intersections=n_isect)
+            return render, alpha, info
+
     if backend == "reference":
         accum, t_out = blend_reference(
             proj.replace(means2d=means2d), op_eff, cols, _depth_perm(proj),
@@ -837,6 +868,16 @@ def rasterize(
               padT(tile_nchunks), slab_t)
             rgb_tiles, t_final = rgb_tiles[:T], t_final[:T]
 
+    render, alpha = _assemble_image(rgb_tiles, t_final, config, c_total)
+    info = dict(
+        means2d=means2d, radii=proj.radii, depths=proj.depths,
+        n_intersections=n_isect,
+    )
+    return render, alpha, info
+
+
+def _assemble_image(rgb_tiles, t_final, config: RasterizeConfig, c_total: int):
+    """Tile-major blend outputs -> (render [H, W, c], alpha [H, W, 1])."""
     ts = config.tile_size
     img = rgb_tiles.reshape(config.tiles_y, config.tiles_x, c_total, ts, ts)
     img = img.transpose(0, 3, 1, 4, 2).reshape(
@@ -847,13 +888,7 @@ def rasterize(
         config.tiles_y * ts, config.tiles_x * ts
     )[: config.height, : config.width]
     alpha = (1.0 - t_img)[..., None]
-
-    render = _finalize(img, alpha, config, c_total)
-    info = dict(
-        means2d=means2d, radii=proj.radii, depths=proj.depths,
-        n_intersections=n_isect,
-    )
-    return render, alpha, info
+    return _finalize(img, alpha, config, c_total), alpha
 
 
 def _depth_perm(proj):

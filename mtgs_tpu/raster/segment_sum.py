@@ -51,13 +51,14 @@ def _kernel(glo_ref, rows_ref, gidx_ref, za_ref, zb_ref, outa_ref, outb_ref):
     local = gidx_ref[0] - b * CBLK                       # [1, R]
     ci = jax.lax.broadcasted_iota(jnp.int32, (2 * CBLK, R), 0)
     oht = (ci == local).astype(jnp.float32)              # [2*CBLK, R]
-    contrib = jax.lax.dot_general(
-        rows_ref[:], oht, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        # default TPU precision rounds the summed VALUES to bf16 before
-        # the one-hot multiply (measured 1e-2 rel err on-chip); Mosaic
-        # supports only DEFAULT/HIGHEST, so exact f32 it is
-        precision=jax.lax.Precision.HIGHEST,
+    # default TPU precision rounds the summed VALUES to bf16 before the
+    # one-hot multiply (measured 1e-2 rel err on-chip); `dot_exact_rhs`
+    # keeps full f32 values via the exact 3-pass hi/mid/lo bf16 split
+    # (one-hot side is 0/1-exact) at half the MXU area of HIGHEST.
+    from mtgs_tpu.raster.chunk_math import dot_exact_rhs
+
+    contrib = dot_exact_rhs(
+        rows_ref[:], oht, (((1,), (1,)), ((), ()))
     )                                                    # [W, 2*CBLK]
 
     @pl.when(first)

@@ -245,15 +245,19 @@ def test_dp_trainer_grows_capacity():
         assert np.isfinite(float(h["psnr"]))
 
 
-def test_fused_fully_sharded_pipeline_matches_single_device():
-    """The WHOLE fused pipeline sharded per tile-row band (VERDICT r2
-    item 1): per-shard spans -> depth sort -> expand -> pair sort ->
-    blend at I/n_dev capacity under shard_map must match the unsharded
-    fused path — forward render/alpha, full parameter gradients, the
-    means2d tap, and the absgrad densify signal. 8 shards over 4 tile
-    rows also exercises empty pad bands."""
+@pytest.mark.parametrize("dist", ["1", "0"])
+def test_fused_fully_sharded_pipeline_matches_single_device(dist, monkeypatch):
+    """The WHOLE fused pipeline sharded across 8 devices must match the
+    unsharded fused path — forward render/alpha, full parameter
+    gradients, the means2d tap, and the absgrad densify signal; 8 shards
+    over 4 tile rows also exercises empty pad bands. Covers BOTH
+    sharded designs: dist="1" takes the gaussian-ownership all_to_all
+    pipeline (dist_fused.py, VERDICT r3 item 3), dist="0" forces the
+    band-replicated fallback (VERDICT r2 item 1)."""
     from mtgs_tpu.core.camera import camera_to_gsplat_viewmat
     from mtgs_tpu.raster import RasterizeConfig, rasterize
+
+    monkeypatch.setenv("MTGS_DIST", dist)
 
     means, quats, scales, opac, colors = _tiny_scene(n=600)
     n = means.shape[0]
@@ -334,3 +338,38 @@ def test_trainer_tile_mesh_matches_unsharded():
     hist = tr.train(2)
     for h in hist:
         assert np.isfinite(float(h["total_loss"]))
+
+
+def test_dist_block_overflow_signals_growth(monkeypatch):
+    """Gaussian-ownership path with a deliberately tiny exchange-block
+    slack: the render must stay finite (truncated pairs drop cleanly,
+    forward AND backward) and the n_intersections pressure signal must
+    exceed the nominal capacity so the trainer's growth loop reacts."""
+    from mtgs_tpu.core.camera import camera_to_gsplat_viewmat
+    from mtgs_tpu.raster import RasterizeConfig, rasterize
+    from mtgs_tpu.raster.dist_fused import dist_shard_plan
+
+    monkeypatch.setenv("MTGS_DIST", "1")
+    monkeypatch.setenv("MTGS_BLK_SLACK", "0.5")   # starve the blocks
+    means, quats, scales, opac, colors = _tiny_scene(n=560, seed=3)
+    viewmat = camera_to_gsplat_viewmat(jnp.eye(4))
+    K = jnp.asarray([[120.0, 0, 80], [0, 120.0, 64], [0, 0, 1]], jnp.float32)
+    cfg = RasterizeConfig(width=160, height=128, tile_size=32,
+                          max_intersections=512 * 8,
+                          backend="pallas", interpret=True, fused=True,
+                          render_mode="RGB+ED")
+    mesh = make_mesh([8], ("data",))
+    plan = dist_shard_plan(cfg, 8, 560)
+    assert plan is not None and plan.I_blk < plan.I_s
+
+    def loss_fn(m):
+        r, a, info = rasterize(m, quats, scales, opac, colors, viewmat, K,
+                               cfg, mesh=mesh)
+        return (r ** 2).mean() + a.mean(), info
+
+    (loss, info), g = jax.value_and_grad(loss_fn, has_aux=True)(means)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(g)).all()
+    # starved blocks truncated: the pressure signal scales the fullest
+    # block back to global capacity and lands above what fit
+    assert int(info["n_intersections"]) > 8 * plan.I_blk
