@@ -244,7 +244,17 @@ def dist_shard_plan(config, n_dev: int, n_gauss: int):
     plus N % n_dev (contiguous ownership blocks)."""
     from mtgs_tpu.raster.expand_fused import fused_fits
 
-    if n_dev <= 1 or os.environ.get("MTGS_DIST", "1") == "0":
+    dist_env = os.environ.get("MTGS_DIST", "auto")
+    if n_dev <= 1 or dist_env == "0":
+        return None
+    # Default policy ("auto"): gaussian ownership wins asymptotically
+    # but carries two extra capacity-sized sorts (band grouping + the
+    # destination k-way merge); per-shard sort volume is
+    # ~(29N + 64I)/n vs the band-replicated path's 27N + 24I/n, so the
+    # crossover sits around n~4 (measured on the virtual mesh:
+    # results/scaling_r4). Below that the band path is faster; force
+    # with MTGS_DIST=1.
+    if dist_env == "auto" and n_dev < 8:
         return None
     I = config.max_intersections
     if n_gauss % n_dev or I % n_dev or n_gauss >= (1 << 24):
@@ -258,22 +268,23 @@ def dist_shard_plan(config, n_dev: int, n_gauss: int):
     n_local = n_gauss // n_dev
     if not fused_fits(I_s, ntp, max(n_local, 2)):
         return None
-    slack = float(os.environ.get("MTGS_BLK_SLACK", "2.0"))
+    # slack 1.0: the n exchange blocks jointly hold exactly I_s pairs —
+    # the same per-band capacity (and truncation-then-grow semantics)
+    # the band-replicated path gives one shard. Raising it trades merge
+    # sort bytes for skew headroom without a growth round-trip.
+    slack = float(os.environ.get("MTGS_BLK_SLACK", "1.0"))
     I_blk = min(I_s, ((int(I_s * slack) // n_dev + 127) // 128) * 128)
     if I_blk < 128:
         return None
     return DistPlan(n_dev, rows_per, ntl, I_s, I_blk, n_local)
 
 
-def rasterize_fused_dist(
-    config, mesh, shard_axis, plan: DistPlan, c_total,
-    means, quats, scales, opacities, colors, viewmat, K, tap2d, sink,
-):
-    """Full gaussian-ownership distributed render. Returns
-    (rgb_tiles_flat, t_final_flat, n_isect, means2d, radii, depths) with
-    per-gaussian arrays assembled back to input order."""
-    from jax.sharding import PartitionSpec as _P
-
+def _make_shard_body(config, shard_axis, plan: DistPlan, c_total):
+    """The per-device distributed pipeline body. Valid anywhere the mesh
+    axis `shard_axis` is bound — wrapped in its own shard_map by
+    `rasterize_fused_dist`, or called directly inside an ENCLOSING
+    shard_map (the cameras x tiles 2D-mesh composition, where nesting
+    shard_maps is not an option)."""
     from mtgs_tpu.raster.expand_fused import slot_bits
     from mtgs_tpu.raster.projection import project_gaussians
     from mtgs_tpu.raster.rasterize import _BlendStatics, _blend
@@ -387,9 +398,36 @@ def rasterize_fused_dist(
             bstat, slab_t, tile_offsets, tile_heads, tcounts, tile_nchunks,
             base_tile.astype(jnp.int32).reshape(1),
         )
-        return (rgb, tfin, total_own.reshape(1), blk_max.reshape(1),
+        # assemble THIS band's image rows locally, so the full image
+        # leaves the shard_map row-sharded and the downstream pixel ops
+        # (composite, losses) partition instead of running full-size on
+        # every device (the XLA cost probe showed ~280 MB/device of
+        # replicated [H, W, c] traffic when assembly happened outside).
+        ts = config.tile_size
+        img = rgb.reshape(rows_per, config.tiles_x, c_total, ts, ts)
+        img = img.transpose(0, 3, 1, 4, 2).reshape(
+            rows_per * ts, config.tiles_x * ts, c_total)
+        t_img = tfin.reshape(rows_per, config.tiles_x, ts, ts)
+        t_img = t_img.transpose(0, 2, 1, 3).reshape(
+            rows_per * ts, config.tiles_x * ts)
+        return (img, t_img, total_own.reshape(1), blk_max.reshape(1),
                 m2d, proj.radii, proj.depths)
 
+    return shard_fn
+
+
+def rasterize_fused_dist(
+    config, mesh, shard_axis, plan: DistPlan, c_total,
+    means, quats, scales, opacities, colors, viewmat, K, tap2d, sink,
+):
+    """Full gaussian-ownership distributed render. Returns
+    (img [n*rows_per*ts, tiles_x*ts, c] row-sharded, t_img likewise,
+    n_isect, means2d, radii, depths) with per-gaussian arrays assembled
+    back to input order; the caller slices [:H, :W]."""
+    from jax.sharding import PartitionSpec as _P
+
+    shard_fn = _make_shard_body(config, shard_axis, plan, c_total)
+    I_blk = plan.I_blk
     P = _P(shard_axis)
     rgb_f, t_f, n_own, blk_max, m2d, radii, depths = jax.shard_map(
         shard_fn, mesh=mesh,
@@ -404,7 +442,45 @@ def rasterize_fused_dist(
     # or an exchange block (I_blk per src->band pair).
     I = config.max_intersections
     n_isect = jnp.maximum(
-        jnp.max(n_own) * n_dev,
+        jnp.max(n_own) * plan.n_dev,
         (jnp.max(blk_max).astype(jnp.float32) * (I / I_blk)).astype(jnp.int32),
     )
     return rgb_f, t_f, n_isect, m2d, radii, depths
+
+
+def rasterize_fused_dist_inside(
+    config, shard_axis, plan: DistPlan, c_total,
+    means, quats, scales, opacities, colors, viewmat, K, tap2d, sink,
+):
+    """The distributed pipeline for callers ALREADY inside a shard_map
+    binding `shard_axis` (e.g. one row of a cameras x tiles 2D mesh).
+
+    Inputs are the FULL (row-replicated) arrays; each device slices its
+    ownership block, runs the shard body, and all_gathers the band
+    renders so every device of the row returns the full image (the
+    image-space losses then run row-redundantly — cheap — and their
+    backward seeds each band's cotangent n_dev times, which the caller
+    must normalize with a pmean over `shard_axis`; see
+    parallel/mesh2d.py). Returns the same tuple as
+    `rasterize_fused_dist`."""
+    n_dev, rows_per, ntl, I_s, I_blk, n_local = plan
+    shard_fn = _make_shard_body(config, shard_axis, plan, c_total)
+    s = jax.lax.axis_index(shard_axis)
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, s * n_local, n_local, axis=0)
+
+    rgb_l, t_l, n_own, blk_max, m2d_l, radii_l, depths_l = shard_fn(
+        sl(means), sl(quats), sl(scales), sl(opacities), sl(colors),
+        sl(tap2d), sl(sink), viewmat, K,
+    )
+    ag = functools.partial(jax.lax.all_gather, axis_name=shard_axis,
+                           axis=0, tiled=True)
+    I = config.max_intersections
+    n_isect = jnp.maximum(
+        jax.lax.pmax(n_own[0], shard_axis) * n_dev,
+        (jax.lax.pmax(blk_max[0], shard_axis).astype(jnp.float32)
+         * (I / I_blk)).astype(jnp.int32),
+    )
+    return (ag(rgb_l), ag(t_l), n_isect, ag(m2d_l), ag(radii_l),
+            ag(depths_l))

@@ -623,6 +623,7 @@ def rasterize(
     absgrad_sink: Optional[jax.Array] = None,
     mesh=None,
     shard_axis: str = "data",
+    inside_shard_map: bool = False,
 ) -> Tuple[jax.Array, jax.Array, dict]:
     """Render one camera view of a set of 3D Gaussians.
 
@@ -698,7 +699,7 @@ def rasterize(
         # through to the band-replicated plan below when shapes don't
         # divide (N % n_dev, I % (n_dev * 512)).
         from mtgs_tpu.raster.dist_fused import (
-            dist_shard_plan, rasterize_fused_dist,
+            dist_shard_plan, rasterize_fused_dist, rasterize_fused_dist_inside,
         )
 
         dplan = dist_shard_plan(config, int(mesh.shape[shard_axis]), N)
@@ -708,18 +709,37 @@ def rasterize(
                    else jnp.zeros((N, 2), means.dtype))
             sink = (absgrad_sink if absgrad_sink is not None
                     else jnp.zeros((N, 2), means.dtype))
-            rgb_flat, t_flat, n_isect, m2d, radii, depths = (
-                rasterize_fused_dist(
-                    config, mesh, shard_axis, dplan, c_total,
-                    means, quats, scales, opacities, colors,
-                    viewmat, K, tap, sink,
-                ))
-            nt = config.tiles_x * config.tiles_y
-            render, alpha = _assemble_image(
-                rgb_flat[:nt], t_flat[:nt], config, c_total)
+            if inside_shard_map:
+                # caller is already under a shard_map binding shard_axis
+                # (2D cameras x tiles mesh — nesting shard_maps is not
+                # supported, so the body runs inline with collectives)
+                img_f, t_f, n_isect, m2d, radii, depths = (
+                    rasterize_fused_dist_inside(
+                        config, shard_axis, dplan, c_total,
+                        means, quats, scales, opacities, colors,
+                        viewmat, K, tap, sink,
+                    ))
+            else:
+                img_f, t_f, n_isect, m2d, radii, depths = (
+                    rasterize_fused_dist(
+                        config, mesh, shard_axis, dplan, c_total,
+                        means, quats, scales, opacities, colors,
+                        viewmat, K, tap, sink,
+                    ))
+            # bands assembled their image rows in-shard; just crop
+            img = img_f[: config.height, : config.width]
+            t_img = t_f[: config.height, : config.width]
+            alpha = (1.0 - t_img)[..., None]
+            render = _finalize(img, alpha, config, c_total)
             info = dict(means2d=m2d, radii=radii, depths=depths,
                         n_intersections=n_isect)
             return render, alpha, info
+
+    if inside_shard_map:
+        # no dist plan under an enclosing shard_map: render unsharded
+        # (row-redundant but correct); the band-replicated path below
+        # would nest shard_maps, which this jax build cannot do.
+        mesh = None
 
     if backend == "reference":
         accum, t_out = blend_reference(

@@ -160,7 +160,14 @@ def build_trainer(args, scene, train_pairs, *, caps=None, base_max_isect=None):
     cfg = method_config("mtgs", width=args.width, height=args.height,
                         max_steps=args.steps)
     cfg = cfg.replace(backend=args.backend, fused=True,
-                      max_intersections=base_max_isect or args.max_isect)
+                      max_intersections=base_max_isect or args.max_isect,
+                      # coarse granule + aggressive factor: every
+                      # capacity change recompiles count/refine/step,
+                      # and a compile over the device tunnel costs
+                      # minutes (campaign_r4: 19 min for one step_fn) —
+                      # fewer, bigger growth events
+                      grow_granule=args.grow_granule,
+                      grow_factor=2.0)
     params, aux = build_scene_model(
         scene, with_instances=args.n_instance > 0, with_skybox=True,
         skybox_points=args.skybox_points,
@@ -236,7 +243,8 @@ def main(argv=None):
     ap.add_argument("--skybox-points", type=int, default=100_000)
     ap.add_argument("--max-isect", type=int, default=1 << 21)
     ap.add_argument("--gt-max-isect", type=int, default=6 << 20)
-    ap.add_argument("--save-every", type=int, default=2000)
+    ap.add_argument("--save-every", type=int, default=1000)
+    ap.add_argument("--grow-granule", type=int, default=32768)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--extent", type=float, default=60.0)
     ap.add_argument("--fresh", action="store_true",
@@ -247,10 +255,18 @@ def main(argv=None):
                          "(divergence diagnosis)")
     args = ap.parse_args(argv)
 
+    import logging
+
     import jax
 
     from mtgs_tpu.data.synthetic import make_synthetic_scene
     from mtgs_tpu.eval.pipeline import evaluate_scene
+
+    # compile/growth visibility (campaign_r4 diagnosis: growth-triggered
+    # recompiles over the tunnel are minutes each — make every one loud)
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                        format="%(asctime)s %(name)s: %(message)s")
+    jax.config.update("jax_log_compiles", True)
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -301,10 +317,16 @@ def main(argv=None):
     seed_alive = int(np.asarray(trainer.aux.background.num_alive))
 
     def cb(step, metrics):
+        ls = getattr(trainer, "loop_stats", None)
+        acct = ""
+        if ls and ls["steps"]:
+            acct = (f" [disp={ls['dispatch_s']:.1f}s "
+                    f"refine={ls['refine_s']:.1f}s sync={ls['sync_s']:.1f}s "
+                    f"/ {ls['steps']} steps]")
         log(f"step {step:6d}  loss={metrics.get('total_loss', 0):.4f} "
             f"psnr={metrics.get('psnr', 0):.2f} "
             f"gaussians={int(metrics.get('gaussian_count', 0))} "
-            f"n_isect={int(metrics.get('n_intersections', 0))}")
+            f"n_isect={int(metrics.get('n_intersections', 0))}" + acct)
         if args.paranoid:
             log("  " + " ".join(
                 f"{k}={float(v):.4g}" for k, v in sorted(metrics.items())

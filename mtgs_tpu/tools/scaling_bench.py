@@ -67,6 +67,13 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--interpret", action="store_true",
                     help="pallas interpret mode (CPU virtual mesh)")
+    ap.add_argument("--cost", action="store_true",
+                    help="report XLA cost_analysis (per-device flops + "
+                         "bytes accessed) instead of wall time — the "
+                         "contention-free algorithmic-scaling metric on "
+                         "a virtual mesh whose host has fewer cores "
+                         "than devices (this host: 4 cores, so 8-device "
+                         "wall time is meaningless)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the session pins the "
                          "TPU tunnel via sitecustomize; env alone is "
@@ -126,18 +133,66 @@ def main(argv=None):
         jax.block_until_ready(p)
         return (time.perf_counter() - t0) / args.iters
 
+    def cost_of(mesh):
+        """Per-device flops + bytes of the compiled SPMD step program."""
+
+        def loss_fn(p, t):
+            m, q, s, o, c = p
+            r, a, _ = rasterize(m, q, s, o, c, viewmat, K, cfg, mesh=mesh,
+                                shard_axis="tile")
+            return jnp.abs(r - target).mean() + 0.1 * a.mean() + 0.0 * t
+
+        def step(p, t):
+            _, g = jax.value_and_grad(loss_fn)(p, t)
+            return jax.tree.map(lambda x, gg: x - 1e-30 * gg, p, g), t + 1.0
+
+        comp = jax.jit(step).lower(params, jnp.float32(1.0)).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
     rows = []
     for nd in counts:
         if args.max_isect % (nd * 512):
             print(f"# skip n={nd}: capacity not divisible", file=sys.stderr)
             continue
         mesh = Mesh(np.array(devs[:nd]), ("tile",)) if nd > 1 else None
-        dt = timed(mesh)
-        rows.append((nd, dt))
-        rays = args.width * args.height / dt
-        print(f"# n_dev={nd}: {dt * 1e3:.2f} ms  ({rays / 1e6:.2f} Mrays/s)",
-              file=sys.stderr)
+        if args.cost:
+            fl, by = cost_of(mesh)
+            rows.append((nd, fl, by))
+            print(f"# n_dev={nd}: {fl / 1e9:.2f} Gflop, "
+                  f"{by / 1e6:.1f} MB accessed per device", file=sys.stderr)
+        else:
+            dt = timed(mesh)
+            rows.append((nd, dt))
+            rays = args.width * args.height / dt
+            print(f"# n_dev={nd}: {dt * 1e3:.2f} ms  "
+                  f"({rays / 1e6:.2f} Mrays/s)", file=sys.stderr)
 
+    if args.cost:
+        f1 = {n: f for n, f, _ in rows}.get(1)
+        b1 = {n: b for n, _, b in rows}.get(1)
+        eff_f = {n: round(f1 / (n * f), 3) for n, f, _ in rows if f1 and n > 1}
+        eff_b = {n: round(b1 / (n * b), 3) for n, _, b in rows if b1 and n > 1}
+        best = rows[-1]
+        print(json.dumps({
+            "metric": f"tile-sharded fwd+bwd per-device XLA cost "
+                      f"({args.n_gauss} gaussians, "
+                      f"{args.width}x{args.height})",
+            "value": round(best[2] / 1e6, 1),
+            "unit": f"MB accessed/device @ {best[0]} dev",
+            "vs_baseline": eff_b.get(best[0], 1.0),
+            "per_device_gflop": {str(n): round(f / 1e9, 3) for n, f, _ in rows},
+            "per_device_mb": {str(n): round(b / 1e6, 1) for n, _, b in rows},
+            "scaling_efficiency_flops": eff_f,
+            "scaling_efficiency_bytes": eff_b,
+            "note": "XLA cost model of the compiled per-device SPMD "
+                    "program — contention-free algorithmic scaling "
+                    "(sorts are bytes-bound on TPU, so bytes is the "
+                    "load-bearing column)",
+        }))
+        return
     t1 = dict(rows).get(1)
     eff = {n: round(t1 / (n * t), 3) for n, t in rows if t1 and n > 1}
     best = rows[-1]

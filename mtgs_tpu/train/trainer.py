@@ -168,6 +168,7 @@ def render_view(
     apply_cam_opt: Optional[bool] = None,
     mesh=None,
     mesh_axis: str = "tile",
+    inside_shard_map: bool = False,
 ) -> Dict[str, jax.Array]:
     """Full forward pass for one camera (ref `get_outputs`).
 
@@ -216,7 +217,7 @@ def render_view(
         g["means"], g["quats"], g["scales"], g["opacities"], colors,
         viewmat, batch.K, cfg.raster_config(),
         tap2d=tap2d, absgrad_sink=absgrad_sink,
-        mesh=mesh, shard_axis=mesh_axis,
+        mesh=mesh, shard_axis=mesh_axis, inside_shard_map=inside_shard_map,
     )
 
     bg = jnp.full((3,), cfg.background_color, render.dtype)
@@ -298,6 +299,7 @@ def _scene_losses(
 def loss_and_grads(
     params: SceneParams, aux: SceneAux, cfg: TrainerConfig, batch: Batch,
     step: jax.Array, *, mesh=None, mesh_axis: str = "tile",
+    inside_shard_map: bool = False,
 ):
     """Loss + parameter gradients + absgrad densify signal for one view.
 
@@ -309,7 +311,8 @@ def loss_and_grads(
 
     def loss_fn(p: SceneParams, sink: jax.Array):
         out = render_view(p, aux, cfg, batch, step, absgrad_sink=sink,
-                          mesh=mesh, mesh_axis=mesh_axis)
+                          mesh=mesh, mesh_axis=mesh_axis,
+                          inside_shard_map=inside_shard_map)
         losses = loss_lib.compute_losses(
             cfg.loss,
             gt_img=batch.image,
@@ -853,6 +856,16 @@ class Trainer:
         # s/step mystery). The host runs ahead and only syncs at refine
         # boundaries / log steps, so dispatches pipeline on-device.
         step0 = int(self.state.step)
+        import time as _time
+
+        # loop accounting (campaign_r4 diagnosis): where does wall time
+        # go between callback lines? dispatch = host time spent issuing
+        # the async step (ms-scale when pipelining works; ~step time if
+        # something forces a per-dispatch sync/retrace), refine = the
+        # growth-plan/refine block (includes its device syncs), sync =
+        # the callback's float() drains.
+        self.loop_stats = {"dispatch_s": 0.0, "refine_s": 0.0, "sync_s": 0.0,
+                           "steps": 0}
         for i in range(num_steps):
             step = step0 + i
             if (
@@ -883,9 +896,13 @@ class Trainer:
                 self._pending_batch = None
             else:
                 batch = next(self.data)
+            _t0 = _time.perf_counter()
             self.state, metrics = self._step_fn(self.state, self.aux, batch)
+            self.loop_stats["dispatch_s"] += _time.perf_counter() - _t0
+            self.loop_stats["steps"] += 1
 
             sref = step + 1
+            _t0 = _time.perf_counter()
             if (
                 sref > cc.densify_from_iter
                 and sref % cc.refine_every == 0
@@ -938,6 +955,7 @@ class Trainer:
                 reset_interval = cc.reset_alpha_every * cc.refine_every
                 if sref < cc.stop_split_at and sref % reset_interval == cc.refine_every:
                     self.state = self._reset_fn(self.state)
+            self.loop_stats["refine_s"] += _time.perf_counter() - _t0
 
             if writer is not None:
                 timing = timer.tick()
@@ -945,7 +963,10 @@ class Trainer:
                     {**{k: float(v) for k, v in metrics.items()}, **timing}, step
                 )
             if callback is not None and (step % log_every == 0 or i == num_steps - 1):
-                callback(step, {k: float(v) for k, v in metrics.items()})
+                _t0 = _time.perf_counter()
+                vals = {k: float(v) for k, v in metrics.items()}
+                self.loop_stats["sync_s"] += _time.perf_counter() - _t0
+                callback(step, vals)
             history.append(metrics)
         if writer is not None:
             writer.flush()
