@@ -105,5 +105,14 @@ def _load():
 def get_dinov2() -> Optional[
     Callable[[np.ndarray, np.ndarray, Optional[np.ndarray]], Optional[float]]
 ]:
-    """A callable (pred_hwc, gt_hwc, mask_hw) -> similarity, or None."""
+    """A callable (pred_hwc, gt_hwc, mask_hw) -> similarity, or None.
+
+    Prefers the pure-JAX forward with a local weights file
+    (`dinov2_jax.py` — weights-drop-ready, no torch at eval time), then
+    falls back to the torch/transformers local-cache path."""
+    from mtgs_tpu.eval.dinov2_jax import get_dinov2_jax
+
+    jx = get_dinov2_jax()
+    if jx is not None:
+        return jx
     return _load()

@@ -91,15 +91,19 @@ def dot_exact_rhs(values: jax.Array, rhs: jax.Array, dnums):
             values, rhs, dnums, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-    rhs_b = rhs.astype(jnp.bfloat16)
-    hi = values.astype(jnp.bfloat16)
-    r1 = values - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    # Operands stay f32 (Mosaic rejects explicit bf16 matmul operands:
+    # "Bad lhs type", measured on v5e) but hold bf16-EXACT values;
+    # precision DEFAULT lowers each dot to ONE bf16 MXU pass whose
+    # operand rounding is then the identity. f32 accumulate.
+    hi = values.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = values - hi
+    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = r1 - mid
     acc = None
     for part in (hi, mid, lo):
         d = jax.lax.dot_general(
-            part, rhs_b, dnums, preferred_element_type=jnp.float32,
+            part, rhs, dnums, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         acc = d if acc is None else acc + d
     return acc

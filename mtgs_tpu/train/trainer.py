@@ -73,6 +73,18 @@ class TrainerConfig(struct.PyTreeNode):
     # n_intersections exceeds isect_grow_frac * max_intersections.
     isect_grow_frac: float = struct.field(pytree_node=False, default=0.85)
     isect_grow_factor: float = struct.field(pytree_node=False, default=1.5)
+    # Speculative background compilation: on this environment every jit
+    # compile is served by a REMOTE AOT compiler (campaign_r4 measured
+    # 19 min for one step_fn), but compiling does not occupy the
+    # device — so the trainer precompiles the shapes it can predict
+    # (the next resolution-ladder stage; grown node/intersection
+    # capacities once they pass spec_frac full) in a daemon thread,
+    # populating the persistent compilation cache so the real re-jit is
+    # a disk hit instead of a multi-minute training stall. None = auto
+    # (enabled off-CPU).
+    speculative_compile: Optional[bool] = struct.field(
+        pytree_node=False, default=None)
+    spec_frac: float = struct.field(pytree_node=False, default=0.5)
     loss: loss_lib.LossConfig = struct.field(
         pytree_node=False, default_factory=loss_lib.LossConfig
     )
@@ -445,6 +457,23 @@ def _accumulate_all(params, densify, sink_grad, radii, opac, wh):
     return new
 
 
+def _make_densify(params: SceneParams):
+    densify = {"background": ctrl.DensifyState.zeros(params.background.capacity)}
+    if params.skybox is not None:
+        densify["skybox"] = ctrl.DensifyState.zeros(params.skybox.capacity)
+    if params.instances is not None:
+        I, cap = params.instances.node.means.shape[:2]
+        densify["instances"] = jax.vmap(lambda _: ctrl.DensifyState.zeros(cap))(
+            jnp.arange(I)
+        )
+    if params.deformables is not None:
+        I, cap = params.deformables.node.means.shape[:2]
+        densify["deformables"] = jax.vmap(lambda _: ctrl.DensifyState.zeros(cap))(
+            jnp.arange(I)
+        )
+    return densify
+
+
 class Trainer:
     """Host-side control loop (ref `CustomTrainer.train`)."""
 
@@ -491,19 +520,7 @@ class Trainer:
             optim_config
             or optim_lib.OptimConfig(groups=optim_lib.default_groups(cfg.max_steps)),
         )
-        densify = {"background": ctrl.DensifyState.zeros(params.background.capacity)}
-        if params.skybox is not None:
-            densify["skybox"] = ctrl.DensifyState.zeros(params.skybox.capacity)
-        if params.instances is not None:
-            I, cap = params.instances.node.means.shape[:2]
-            densify["instances"] = jax.vmap(lambda _: ctrl.DensifyState.zeros(cap))(
-                jnp.arange(I)
-            )
-        if params.deformables is not None:
-            I, cap = params.deformables.node.means.shape[:2]
-            densify["deformables"] = jax.vmap(lambda _: ctrl.DensifyState.zeros(cap))(
-                jnp.arange(I)
-            )
+        densify = _make_densify(params)
         self.state = TrainState(
             params=params,
             opt_state=self.optimizer.init(params),
@@ -517,6 +534,99 @@ class Trainer:
         self._refine_fns: Dict[Any, Any] = {}
         self.growth_events: list = []
         self.refine_overflow: int = 0
+        self._spec_started: set = set()
+        self._last_batch_sds = None
+
+    # ------------------------------------------------- speculative compile
+
+    def _spec_enabled(self) -> bool:
+        if self.cfg.speculative_compile is not None:
+            return self.cfg.speculative_compile
+        return jax.default_backend() != "cpu"
+
+    def _abstract_state(self, caps: Dict[str, Optional[int]]):
+        """ShapeDtypeStruct (state, aux) trees at hypothetical node
+        capacities (no memory is allocated)."""
+        from mtgs_tpu.train.checkpoint import pad_scene_to_caps
+
+        def build(p, a):
+            p2, a2 = pad_scene_to_caps(p, a, caps)
+            st = TrainState(
+                params=p2,
+                opt_state=self.optimizer.init(p2),
+                densify=_make_densify(p2),
+                step=jnp.zeros((), jnp.int32),
+                key=jax.random.key(0),
+            )
+            return st, a2
+
+        return jax.eval_shape(build, self.state.params, self.aux)
+
+    def _speculate_step(self, cfg: TrainerConfig, caps, batch_sds, tag: str):
+        """Compile the train step for (cfg, caps) in a daemon thread —
+        the remote AOT compile populates the persistent cache without
+        stalling training; the eventual real re-jit is a disk hit."""
+        key = (tag, cfg.width, cfg.height, cfg.max_intersections,
+               tuple(sorted((k, v) for k, v in (caps or {}).items()
+                            if v is not None)))
+        if not self._spec_enabled() or key in self._spec_started:
+            return
+        self._spec_started.add(key)
+        import threading
+        import time as _time
+
+        def work():
+            try:
+                t0 = _time.perf_counter()
+                st_s, aux_s = self._abstract_state(caps or {})
+                self._make_step(cfg).lower(st_s, aux_s, batch_sds).compile()
+                _LOG.info(
+                    "speculative step compile [%s] %dx%d isect=%d caps=%s "
+                    "done in %.0fs", tag, cfg.width, cfg.height,
+                    cfg.max_intersections, caps, _time.perf_counter() - t0)
+            except Exception as e:  # speculation must never hurt training
+                _LOG.info("speculative compile [%s] skipped: %r", tag, e)
+
+        threading.Thread(target=work, daemon=True, name=f"spec-{tag}").start()
+
+    def _speculate_next_stage(self):
+        """Precompile the NEXT resolution-ladder stage (at current caps)
+        while the current stage trains — ladder switches measured ~19
+        min of remote compile otherwise."""
+        if self.resolution_stages is None or not self._spec_enabled():
+            return
+        cur = self._cur_scale
+        scales = [s for _, s in self.resolution_stages]
+        try:
+            idx = scales.index(cur)
+        except ValueError:
+            return
+        if idx + 1 >= len(scales):
+            return
+        nxt = scales[idx + 1]
+        if ("ladder", nxt) in self._spec_started:
+            return
+        self._spec_started.add(("ladder", nxt))
+        import threading
+
+        base = self._base_cfg
+        gran = self._isect_granule()
+
+        def work():
+            try:
+                first = next(self._data_factory(nxt))  # warms the cache too
+                h, w = first.image.shape[:2]
+                isect = max(int(base.max_intersections * nxt * nxt), 1 << 14)
+                isect = ((isect + gran - 1) // gran) * gran
+                cfg2 = base.replace(width=w, height=h, max_intersections=isect)
+                sds = jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+                    first)
+                self._speculate_step(cfg2, None, sds, f"ladder{nxt}")
+            except Exception as e:
+                _LOG.info("ladder speculation skipped: %r", e)
+
+        threading.Thread(target=work, daemon=True, name="spec-ladder").start()
 
     # ------------------------------------------------------------- refine
 
@@ -596,6 +706,29 @@ class Trainer:
                 return cap
             target = max(int(needed), int(cap * self.cfg.grow_factor))
             return node_capacity(target, self.cfg.grow_granule)
+
+        # speculative precompile of the predicted post-growth step: once
+        # a node passes spec_frac of its capacity, compile the step at
+        # the capacity the next growth will (almost always) pick.
+        if self._spec_enabled() and self._last_batch_sds is not None:
+            needed_by = dict(
+                background=int(counts["background"]),
+                skybox=int(counts["skybox"]) if "skybox" in counts else None,
+                instances=(int(np.max(counts["instances"]))
+                           if "instances" in counts else None),
+                deformables=(int(np.max(counts["deformables"]))
+                             if "deformables" in counts else None),
+            )
+            spec = {}
+            for name, cap in caps.items():
+                needed = needed_by[name]
+                if (cap is not None and needed is not None
+                        and needed > self.cfg.spec_frac * cap):
+                    spec[name] = node_capacity(
+                        int(cap * self.cfg.grow_factor), self.cfg.grow_granule)
+            if spec:
+                self._speculate_step(self.cfg, spec, self._last_batch_sds,
+                                     "growth")
 
         out = (
             plan(caps["background"], int(counts["background"])),
@@ -818,7 +951,11 @@ class Trainer:
         growth / ladder stage (ADVICE r3)."""
         g = 512
         if self.mesh is not None:
-            g *= int(self.mesh.shape[self.mesh_axis])
+            # a mesh without the raster axis (e.g. DPTrainer's pure
+            # 'data' mesh) doesn't shard the intersection pipeline
+            n = dict(self.mesh.shape).get(self.mesh_axis)
+            if n:
+                g *= int(n)
         return g
 
     def _set_resolution_stage(self, scale: float):
@@ -839,6 +976,8 @@ class Trainer:
         self._step_fn = self._make_step(self.cfg)
         self._refine_fns = {}
         self._cur_scale = scale
+        self._last_batch_sds = None
+        self._speculate_next_stage()
 
     def train(self, num_steps: int, log_every: int = 100, callback=None, writer=None):
         """Run `num_steps`. `writer` is an optional
@@ -900,6 +1039,10 @@ class Trainer:
             self.state, metrics = self._step_fn(self.state, self.aux, batch)
             self.loop_stats["dispatch_s"] += _time.perf_counter() - _t0
             self.loop_stats["steps"] += 1
+            if self._last_batch_sds is None:
+                self._last_batch_sds = jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(
+                        jnp.shape(x), jnp.result_type(x)), batch)
 
             sref = step + 1
             _t0 = _time.perf_counter()
@@ -927,6 +1070,22 @@ class Trainer:
                     # at the refine cadence (forcing it every step would
                     # serialize the dispatch pipeline on a host sync)
                     n_isect = int(metrics["n_intersections"])
+                    if (
+                        self.cfg.auto_grow
+                        and self.cfg.isect_grow_frac * self.cfg.max_intersections
+                        >= n_isect
+                        > self.cfg.spec_frac * self.cfg.max_intersections
+                        and self._last_batch_sds is not None
+                    ):
+                        # approaching the buffer limit: precompile the
+                        # grown-capacity step in the background
+                        gran = self._isect_granule()
+                        nxt = int(self.cfg.max_intersections
+                                  * self.cfg.isect_grow_factor)
+                        nxt = ((nxt + gran - 1) // gran) * gran
+                        self._speculate_step(
+                            self.cfg.replace(max_intersections=nxt), None,
+                            self._last_batch_sds, "isect")
                     if (
                         self.cfg.auto_grow
                         and n_isect > self.cfg.isect_grow_frac * self.cfg.max_intersections

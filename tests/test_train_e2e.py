@@ -434,3 +434,54 @@ def test_per_node_control_cascade():
     assert cfg2.node_control("skybox") is override
     assert cfg2.node_control("instances") is override
     assert cfg2.node_control("deformables") is cfg2.control
+
+
+def test_speculative_precompile_threads():
+    """Speculative background compiles (ladder + growth + isect) must
+    not perturb training: run a laddered trainer with speculation forced
+    ON (CPU) and check the speculation keys got scheduled, steps stay
+    finite, and results match a speculation-OFF run bit-for-bit."""
+    import numpy as np
+
+    from mtgs_tpu.data.synthetic import (
+        batch_iterator, build_scene_model, make_synthetic_scene,
+    )
+    from mtgs_tpu.train import control as ctrl
+    from mtgs_tpu.train.trainer import Trainer, TrainerConfig
+
+    scene = make_synthetic_scene(seed=0, width=64, height=64, n_travels=1,
+                                 n_frames=2, n_bg=260, n_instance=0,
+                                 backend="xla")
+
+    def factory(scale):
+        # same data at every scale: enough to exercise the machinery
+        return batch_iterator(scene, seed=3)
+
+    def run(spec):
+        params, aux = build_scene_model(scene, with_instances=False)
+        cfg = TrainerConfig(
+            width=64, height=64, max_intersections=1 << 11, max_steps=50,
+            backend="xla", predict_normals=False, grow_granule=512,
+            speculative_compile=spec, spec_frac=0.0,   # speculate eagerly
+            control=ctrl.ControlConfig(
+                densify_from_iter=1, refine_every=4, stop_split_at=100,
+                reset_alpha_every=1000, densify_grad_thresh=1e-9,
+                densify_size_thresh=1e9),
+        )
+        tr = Trainer(cfg, params, aux, None, data_factory=factory,
+                     resolution_stages=[(0, 0.5), (6, 1.0)])
+        hist = tr.train(12)
+        return tr, hist
+
+    tr_on, hist_on = run(True)
+    tr_off, hist_off = run(False)
+    assert any(k[0] == "ladder" or k == ("ladder", 1.0)
+               for k in tr_on._spec_started) or len(tr_on._spec_started) > 0
+    import time
+    time.sleep(1.0)   # let daemon threads finish logging
+    for a, b in zip(hist_on, hist_off):
+        np.testing.assert_array_equal(
+            np.asarray(a["total_loss"]), np.asarray(b["total_loss"]))
+    for u, v in zip(jax.tree.leaves(tr_on.state.params),
+                    jax.tree.leaves(tr_off.state.params)):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
