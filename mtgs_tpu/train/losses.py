@@ -189,14 +189,29 @@ def mean_angular_error(pred: jax.Array, gt: jax.Array) -> jax.Array:
 
 
 def _extract_patches(img: jax.Array, patch: int, stride: int) -> jax.Array:
-    """[H, W] -> [n_patches, patch*patch] via conv_general_dilated_patches
-    (the jnp analog of the reference's F.unfold with SAME padding)."""
+    """[H, W] -> [n_patches, patch*patch], the jnp analog of the
+    reference's F.unfold with SAME padding.
+
+    Implemented as patch*patch strided SLICES (exact, pure data
+    movement) instead of `conv_general_dilated_patches`: TPU lowers the
+    1-channel identity conv catastrophically — the same pathology the
+    SSIM shifted-add rewrite measured at 106 ms (default precision) to
+    1126 ms (f32-exact) per call; this form was the missing half of the
+    campaign's 1.8 s/step mystery (the NCC loss runs three of these
+    plus their transposes every step)."""
     pad = patch // 2
-    x = img[None, None]  # [1, 1, H, W]
-    p = jax.lax.conv_general_dilated_patches(
-        x, (patch, patch), (stride, stride), [(pad, pad), (pad, pad)]
-    )  # [1, patch*patch, oh, ow]
-    return p[0].reshape(patch * patch, -1).T
+    H, W = img.shape
+    oh = (H + 2 * pad - patch) // stride + 1
+    ow = (W + 2 * pad - patch) // stride + 1
+    need_h = (oh - 1) * stride + patch
+    need_w = (ow - 1) * stride + patch
+    x = jnp.pad(img, ((pad, need_h - H - pad), (pad, need_w - W - pad)))
+    shifts = [
+        x[di: di + (oh - 1) * stride + 1: stride,
+          dj: dj + (ow - 1) * stride + 1: stride]
+        for di in range(patch) for dj in range(patch)
+    ]
+    return jnp.stack(shifts, axis=-1).reshape(oh * ow, patch * patch)
 
 
 def ncc_depth_loss(

@@ -457,6 +457,17 @@ def _accumulate_all(params, densify, sink_grad, radii, opac, wh):
     return new
 
 
+def _node_caps_of(params: SceneParams):
+    return (
+        params.background.capacity,
+        None if params.skybox is None else params.skybox.capacity,
+        None if params.instances is None
+        else params.instances.node.means.shape[1],
+        None if params.deformables is None
+        else params.deformables.node.means.shape[1],
+    )
+
+
 def _make_densify(params: SceneParams):
     densify = {"background": ctrl.DensifyState.zeros(params.background.capacity)}
     if params.skybox is not None:
@@ -535,6 +546,8 @@ class Trainer:
         self.growth_events: list = []
         self.refine_overflow: int = 0
         self._spec_started: set = set()
+        self._spec_ready: Dict[Any, Any] = {}
+        self._step_is_compiled = False
         self._last_batch_sds = None
 
     # ------------------------------------------------- speculative compile
@@ -544,7 +557,19 @@ class Trainer:
             return self.cfg.speculative_compile
         return jax.default_backend() != "cpu"
 
-    def _abstract_state(self, caps: Dict[str, Optional[int]]):
+    @staticmethod
+    def _sds_of(tree):
+        return jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree)
+
+    @staticmethod
+    def _avals_fp(cfg, *trees):
+        """Hashable fingerprint of (static config, argument avals)."""
+        leaves = jax.tree.leaves(trees)
+        return (repr(cfg),
+                tuple((tuple(l.shape), str(l.dtype)) for l in leaves))
+
+    def _abstract_state(self, params_sds, aux_sds, caps):
         """ShapeDtypeStruct (state, aux) trees at hypothetical node
         capacities (no memory is allocated)."""
         from mtgs_tpu.train.checkpoint import pad_scene_to_caps
@@ -560,34 +585,62 @@ class Trainer:
             )
             return st, a2
 
-        return jax.eval_shape(build, self.state.params, self.aux)
+        return jax.eval_shape(build, params_sds, aux_sds)
 
     def _speculate_step(self, cfg: TrainerConfig, caps, batch_sds, tag: str):
-        """Compile the train step for (cfg, caps) in a daemon thread —
-        the remote AOT compile populates the persistent cache without
-        stalling training; the eventual real re-jit is a disk hit."""
+        """Compile the train step for (cfg, caps) in a daemon thread.
+
+        The persistent compilation cache is NOT honored by this stack's
+        remote AOT compiler (measured: identical shapes recompiled from
+        scratch across processes), so the thread keeps the jax
+        `Compiled` executable itself; `_try_spec_swap` installs it when
+        the trainer's real shapes arrive. A step compile measured 18-19
+        min — this turns growth/ladder stalls into background work."""
         key = (tag, cfg.width, cfg.height, cfg.max_intersections,
                tuple(sorted((k, v) for k, v in (caps or {}).items()
                             if v is not None)))
         if not self._spec_enabled() or key in self._spec_started:
             return
         self._spec_started.add(key)
+        # snapshot avals on the caller thread (donation may delete the
+        # live buffers while the worker runs)
+        params_sds = self._sds_of(self.state.params)
+        aux_sds = self._sds_of(self.aux)
         import threading
         import time as _time
 
         def work():
             try:
                 t0 = _time.perf_counter()
-                st_s, aux_s = self._abstract_state(caps or {})
-                self._make_step(cfg).lower(st_s, aux_s, batch_sds).compile()
+                st_s, aux_s = self._abstract_state(params_sds, aux_sds,
+                                                   caps or {})
+                compiled = self._make_step(cfg).lower(
+                    st_s, aux_s, batch_sds).compile()
+                fp = self._avals_fp(cfg, st_s, aux_s, batch_sds)
+                self._spec_ready[fp] = compiled
                 _LOG.info(
                     "speculative step compile [%s] %dx%d isect=%d caps=%s "
-                    "done in %.0fs", tag, cfg.width, cfg.height,
+                    "ready in %.0fs", tag, cfg.width, cfg.height,
                     cfg.max_intersections, caps, _time.perf_counter() - t0)
             except Exception as e:  # speculation must never hurt training
                 _LOG.info("speculative compile [%s] skipped: %r", tag, e)
 
         threading.Thread(target=work, daemon=True, name=f"spec-{tag}").start()
+
+    def _try_spec_swap(self, batch_sds) -> bool:
+        """Install a speculatively-compiled executable matching the
+        CURRENT state/aux/batch avals, if one is ready."""
+        if batch_sds is None or not self._spec_ready:
+            return False
+        fp = self._avals_fp(self.cfg, self._sds_of(self.state),
+                            self._sds_of(self.aux), batch_sds)
+        compiled = self._spec_ready.pop(fp, None)
+        if compiled is None:
+            return False
+        self._step_fn = compiled
+        self._step_is_compiled = True
+        _LOG.info("installed speculatively-compiled step (no stall)")
+        return True
 
     def _speculate_next_stage(self):
         """Precompile the NEXT resolution-ladder stage (at current caps)
@@ -974,9 +1027,11 @@ class Trainer:
         isect = ((isect + gran - 1) // gran) * gran  # Pallas/shard gates
         self.cfg = base.replace(width=w, height=h, max_intersections=isect)
         self._step_fn = self._make_step(self.cfg)
+        self._step_is_compiled = False
         self._refine_fns = {}
         self._cur_scale = scale
         self._last_batch_sds = None
+        self._try_spec_swap(self._sds_of(first))
         self._speculate_next_stage()
 
     def train(self, num_steps: int, log_every: int = 100, callback=None, writer=None):
@@ -1021,6 +1076,7 @@ class Trainer:
                 self._base_cfg = self._base_cfg.replace(
                     scene=self._base_cfg.scene.replace(deform_enabled=True))
                 self._step_fn = self._make_step(self.cfg)
+                self._step_is_compiled = False
             if self.resolution_stages is not None:
                 scale = self.resolution_stages[0][1]
                 for start, s in self.resolution_stages:
@@ -1055,9 +1111,18 @@ class Trainer:
                 use_screen = sref < cc.stop_screen_size_at
                 if do_densify or cc.continue_cull_post_densification:
                     flags = (do_densify, do_cull_big, use_screen)
+                    caps_before = _node_caps_of(self.state.params)
                     out_caps = self._plan_growth(flags)
                     fn = self._get_refine_fn(flags, out_caps)
                     self.state, self.aux, rinfo = fn(self.state, self.aux)
+                    if _node_caps_of(self.state.params) != caps_before:
+                        # capacity grew: prefer a speculatively-compiled
+                        # executable; else make sure a jit (which can
+                        # trace the new shapes) is installed
+                        if (not self._try_spec_swap(self._last_batch_sds)
+                                and self._step_is_compiled):
+                            self._step_fn = self._make_step(self.cfg)
+                            self._step_is_compiled = False
                     overflow = int(rinfo["overflow"])
                     if overflow > 0:
                         self.refine_overflow += overflow
@@ -1110,7 +1175,9 @@ class Trainer:
                                 * self.cfg.isect_grow_factor
                             )
                         )
-                        self._step_fn = self._make_step(self.cfg)
+                        if not self._try_spec_swap(self._last_batch_sds):
+                            self._step_fn = self._make_step(self.cfg)
+                            self._step_is_compiled = False
                 reset_interval = cc.reset_alpha_every * cc.refine_every
                 if sref < cc.stop_split_at and sref % reset_interval == cc.refine_every:
                     self.state = self._reset_fn(self.state)
