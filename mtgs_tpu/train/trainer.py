@@ -773,15 +773,25 @@ class Trainer:
                              if "deformables" in counts else None),
             )
             spec = {}
+            hottest, hot_ratio = None, 0.0
             for name, cap in caps.items():
                 needed = needed_by[name]
-                if (cap is not None and needed is not None
-                        and needed > self.cfg.spec_frac * cap):
+                if cap is None or needed is None:
+                    continue
+                if needed / cap > hot_ratio:
+                    hottest, hot_ratio = name, needed / cap
+                if needed > self.cfg.spec_frac * cap:
                     spec[name] = node_capacity(
                         int(cap * self.cfg.grow_factor), self.cfg.grow_granule)
             if spec:
                 self._speculate_step(self.cfg, spec, self._last_batch_sds,
                                      "growth")
+                if len(spec) > 1 and hottest in spec:
+                    # nodes rarely overflow in the same refine step: the
+                    # hottest-node-only growth is the likelier shape
+                    self._speculate_step(
+                        self.cfg, {hottest: spec[hottest]},
+                        self._last_batch_sds, "growth1")
 
         out = (
             plan(caps["background"], int(counts["background"])),
@@ -1123,6 +1133,13 @@ class Trainer:
                                 and self._step_is_compiled):
                             self._step_fn = self._make_step(self.cfg)
                             self._step_is_compiled = False
+                        # growth invalidated any pending next-stage
+                        # speculation (stale capacity avals): redo it
+                        self._spec_started = {
+                            k for k in self._spec_started
+                            if not (isinstance(k, tuple) and k
+                                    and k[0] == "ladder")}
+                        self._speculate_next_stage()
                     overflow = int(rinfo["overflow"])
                     if overflow > 0:
                         self.refine_overflow += overflow
