@@ -79,7 +79,7 @@ def bf16_split_enabled() -> bool:
     env = os.environ.get("MTGS_BF16_SPLIT")
     if env is not None:
         return env != "0"
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def dot_exact_rhs(values: jax.Array, rhs: jax.Array, dnums):
