@@ -20,7 +20,23 @@ ITERS = 30001
 
 
 def mtgs_config(width: int = 960, height: int = 540, max_steps: int = ITERS) -> TrainerConfig:
-    """The full MTGS method (`mtgs/config/MTGS.py:25-213`)."""
+    """The full MTGS method (`mtgs/config/MTGS.py:25-213`).
+
+    The reference's densify/reset schedule is written in ABSOLUTE steps
+    for a 30001-iteration budget (stop splitting at 15000 = the 50%
+    mark, last opacity reset at 12100 = 40%, SH ramp over the first
+    13%). When `max_steps` differs, those RATIOS are what matter:
+    campaign_r4b ran the absolute numbers on a 10001-step budget, so
+    the final reset landed at step 9100 — 900 steps before eval — and
+    the scene was evaluated mid-recovery (median opacity pinned at the
+    0.01 reset value, held-out views at alpha 0.02, seen-split psnr
+    15 dB vs 30-37 dB on trained views). Step-valued fields therefore
+    scale by max_steps / 30001."""
+    s = max_steps / ITERS
+
+    def st(v: int) -> int:  # scale a step-valued schedule field
+        return max(int(round(v * s)), 1)
+
     return TrainerConfig(
         width=width,
         height=height,
@@ -28,10 +44,14 @@ def mtgs_config(width: int = 960, height: int = 540, max_steps: int = ITERS) -> 
         rasterize_mode="antialiased",
         predict_normals=True,
         control=ControlConfig(
-            densify_from_iter=500,
+            densify_from_iter=st(500),
             refine_every=100,
-            stop_split_at=15000,
-            reset_alpha_every=30,
+            stop_split_at=st(15000),
+            # reset interval = reset_alpha_every * refine_every; scale
+            # it so the LAST reset keeps the reference's relative
+            # position (~40% of the run), leaving the same fraction of
+            # steps for opacity recovery before eval
+            reset_alpha_every=max(int(round(30 * s)), 2),
             continue_cull_post_densification=False,
             cull_alpha_thresh=0.005,
             cull_scale_thresh=0.5,
@@ -39,11 +59,11 @@ def mtgs_config(width: int = 960, height: int = 540, max_steps: int = ITERS) -> 
             densify_grad_thresh=0.001,
             n_split_samples=2,
             clone_sample_means=True,
-            stop_screen_size_at=15000,
+            stop_screen_size_at=st(15000),
             cull_screen_size=150.0,
             split_screen_size=100.0,
             sh_degree=3,
-            sh_degree_interval=1000,
+            sh_degree_interval=st(1000),
             use_abs_grad=True,
         ),
         loss=LossConfig(

@@ -201,3 +201,25 @@ def test_viewer_outputs_frustums_export():
     assert len(splat) > 0
     pcd, _ = srv.export("pcd")
     assert pcd.startswith(b"ply")
+
+
+def test_method_config_schedule_scales_with_budget():
+    """The reference's densify/reset schedule is ratio-preserving under a
+    different step budget (campaign_r4b regression: absolute 30k-step
+    numbers on a 10k run put the last opacity reset 900 steps before
+    eval)."""
+    from mtgs_tpu.configs import ITERS, method_config
+
+    ref = method_config("mtgs")
+    short = method_config("mtgs", max_steps=10001)
+    assert ref.control.stop_split_at == 15000
+    assert short.control.stop_split_at == 5000
+    assert short.control.sh_degree_interval == 333
+    # last reset position: largest sref < stop_split_at with
+    # sref % (reset_alpha_every * refine_every) == refine_every
+    for cfg, budget in ((ref, ITERS), (short, 10001)):
+        cc = cfg.control
+        interval = cc.reset_alpha_every * cc.refine_every
+        last = max(r for r in range(cc.refine_every, cc.stop_split_at, interval))
+        # the reference leaves ~60% of the budget after the last reset
+        assert 0.5 < 1 - last / budget < 0.7, (last, budget)
